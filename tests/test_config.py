@@ -1,0 +1,60 @@
+"""Tests for the hydra-compatible config layer."""
+
+import pytest
+
+from midvision_probe_tpu.config import compose, instantiate, to_dict
+from midvision_probe_tpu.config.core import Config
+
+
+def test_compose_defaults_groups():
+    cfg = compose("depth_training")
+    assert cfg.batch_size == 16
+    assert cfg.optimizer.n_epochs == 10
+    assert cfg.backbone._target_.endswith("DINO")
+    assert cfg.probe.head_type == "dpt"
+    assert cfg.dataset.name == "nyuv2"
+
+
+def test_group_swap_and_dot_overrides():
+    cfg = compose(
+        "depth_training",
+        ["optimizer=one_epoch", "batch_size=4", "probe.head_type=linear",
+         "+backbone.return_multilayer=True"],
+    )
+    assert cfg.optimizer.n_epochs == 1
+    assert cfg.batch_size == 4
+    assert cfg.probe.head_type == "linear"
+    assert cfg.backbone.return_multilayer is True
+
+
+def test_unknown_override_rejected():
+    with pytest.raises(KeyError):
+        compose("depth_training", ["backbone.nonexistent_key=3"])
+
+
+def test_interpolation():
+    cfg = compose("depth_training")
+    assert cfg.experiment_model == cfg.backbone.checkpoint_name
+
+
+def test_instantiate_target():
+    cfg = Config(
+        {"_target_": "collections.OrderedDict"},
+    )
+    obj = instantiate(cfg)
+    from collections import OrderedDict
+
+    assert isinstance(obj, OrderedDict)
+
+
+def test_instantiate_kwargs_override():
+    cfg = Config({"_target_": "fractions.Fraction", "numerator": 1, "denominator": 2})
+    frac = instantiate(cfg, denominator=4)
+    assert frac.denominator == 4
+
+
+def test_to_dict_roundtrip():
+    cfg = compose("depth_training")
+    d = to_dict(cfg)
+    assert isinstance(d, dict) and not isinstance(d, Config)
+    assert d["optimizer"]["n_epochs"] == 10
