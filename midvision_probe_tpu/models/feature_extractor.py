@@ -1,0 +1,177 @@
+"""The uniform frozen-feature contract.
+
+Every backbone in the reference exposes the same interface (template
+``dino.py:9-210``, ``simclr.py:29-115``): ctor kwargs ``output`` in
+{cls, gap, dense, dense-cls}, ``layer``, ``return_multilayer``,
+``add_norm``, ``return_cls``; attributes ``feat_dim``, ``patch_size``,
+``checkpoint_name``, ``layer``, ``output``, ``arch``; and
+``forward(images) -> map | list[map]``.
+
+This module reproduces that contract functionally:
+
+* ``FeatureSpec`` — static metadata (what probes need to build heads),
+* ``FeatureExtractor`` — a frozen, jit-compiled feature function bundling a
+  Flax core + converted params,
+* ``tokens_to_output`` — token→map conversion (``evals/models/utils.py:105``).
+
+Design delta vs the reference: the optional per-tap BatchNorm (``add_norm``,
+``dino.py:73-75``) *trains with the probe*, so it lives in the probe-side
+``TapNorms`` module (see ``models/probes.py``) instead of inside the frozen
+backbone — the extractor stays a pure function.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+
+OUTPUTS = ("cls", "gap", "dense", "dense-cls")
+
+
+def tokens_to_output(
+    output_type: str,
+    dense_tokens: jnp.ndarray,
+    cls_token: jnp.ndarray | None,
+    feat_hw: tuple[int, int],
+) -> jnp.ndarray:
+    """(B, h*w, C) tokens → requested output (NHWC for dense modes).
+
+    Mirrors ``evals/models/utils.py:105-124`` (channel-last here).
+    """
+    h, w = feat_hw
+    B, _, C = dense_tokens.shape
+    if output_type == "cls":
+        assert cls_token is not None
+        return cls_token
+    if output_type == "gap":
+        return dense_tokens.mean(axis=1)
+    if output_type == "dense":
+        return dense_tokens.reshape(B, h, w, C)
+    if output_type == "dense-cls":
+        assert cls_token is not None
+        dense = dense_tokens.reshape(B, h, w, C)
+        cls = jnp.broadcast_to(cls_token[:, None, None, :], (B, h, w, C))
+        return jnp.concatenate([dense, cls], axis=-1)
+    raise ValueError(f"unknown output type {output_type!r}")
+
+
+@dataclasses.dataclass(frozen=True)
+class FeatureSpec:
+    """Static backbone metadata (the reference's wrapper attributes)."""
+
+    feat_dim: Any  # int, or list[int], or list[(C, hw)] for resnet
+    patch_size: int
+    multilayers: tuple[int, ...]
+    arch: str  # "vit" | "resnet" | "convnext" | ...
+    checkpoint_name: str
+    output: str
+    num_layers: int
+    add_norm: bool = False
+    image_mean: tuple[float, float, float] = (0.485, 0.456, 0.406)
+    image_std: tuple[float, float, float] = (0.229, 0.224, 0.225)
+
+    @property
+    def layer(self) -> str:
+        return "-".join(str(x) for x in self.multilayers)
+
+
+def default_vit_multilayers(num_layers: int) -> list[int]:
+    """The canonical 4-tap schedule (reference ``dino.py:51-57``)."""
+    return [
+        num_layers // 4 - 1,
+        num_layers // 2 - 1,
+        num_layers // 4 * 3 - 1,
+        num_layers - 1,
+    ]
+
+
+class FeatureExtractor:
+    """A frozen backbone as a pure jitted function.
+
+    Args:
+        apply_fn: ``(variables, images_nhwc) -> (tokens_or_maps, aux)`` where
+            for ViTs ``aux`` carries grid_hw and prefix-token split.
+        variables: frozen param pytree.
+        spec: FeatureSpec.
+        return_multilayer / layer / output / return_cls: reference contract.
+    """
+
+    def __init__(
+        self,
+        apply_fn: Callable,
+        variables: Any,
+        spec: FeatureSpec,
+        return_multilayer: bool = False,
+        return_cls: bool = False,
+    ):
+        self._apply_fn = apply_fn
+        self.variables = variables
+        self.spec = spec
+        self.return_multilayer = return_multilayer
+        self.return_cls = return_cls
+        # contract attributes
+        self.arch = spec.arch
+        self.patch_size = spec.patch_size
+        self.checkpoint_name = spec.checkpoint_name
+        self.output = spec.output
+        self.multilayers = list(spec.multilayers)
+        self.layer = spec.layer
+        self.feat_dim = spec.feat_dim if return_multilayer else (
+            spec.feat_dim[-1] if isinstance(spec.feat_dim, (list, tuple))
+            and spec.arch != "resnet" else spec.feat_dim
+        )
+        self._jitted = jax.jit(functools.partial(self._apply_fn, self.variables))
+
+    def __call__(self, images: jnp.ndarray):
+        """images NHWC (normalized) → feature map(s) per the contract."""
+        outputs, cls_tokens = self._jitted(images)
+        if self.return_cls and len(outputs) == 1 and cls_tokens is not None:
+            return cls_tokens[0]
+        return outputs if self.return_multilayer else outputs[-1]
+
+    def features(self, images: jnp.ndarray):
+        """Always-multilayer call used by probe training."""
+        outputs, _ = self._jitted(images)
+        return outputs
+
+
+def make_vit_feature_fn(
+    module,
+    taps: Sequence[int],
+    output: str,
+    num_prefix_tokens: int,
+):
+    """Build the (variables, images) -> (list[map], list[cls]) fn for a ViT."""
+
+    def apply_fn(variables, images):
+        res = module.apply(variables, images, taps=tuple(taps))
+        gh, gw = res["grid_hw"]
+        num_spatial = gh * gw
+        maps, clss = [], []
+        for tokens in res["tokens"]:
+            cls_tok = tokens[:, 0] if num_prefix_tokens > 0 else None
+            spatial = tokens[:, -num_spatial:]
+            maps.append(tokens_to_output(output, spatial, cls_tok, (gh, gw)))
+            clss.append(cls_tok)
+        return maps, clss
+
+    return apply_fn
+
+
+def make_resnet_feature_fn(module, taps: Sequence[int]):
+    """(variables, images) -> (list[NHWC map], None) for the ResNet trunk.
+
+    CNN features are already spatial; ``output`` modes other than dense are
+    computed by callers via pooling (reference percepture eval does
+    ``adaptive_avg_pool2d``, ``evaluate_model_percepture.py:105-114``).
+    """
+
+    def apply_fn(variables, images):
+        maps = module.apply(variables, images, taps=tuple(taps))
+        return maps, None
+
+    return apply_fn

@@ -1,0 +1,341 @@
+"""One generic Flax ViT with per-layer taps — the whole ViT-side zoo.
+
+The reference wraps ~20 separate torch ViT implementations (timm, HF, local
+copies like ``ibot_transformers.py`` / ``impl_utils/beit_model.py`` /
+``deit_utils.py``) behind the same capture-multilayer-taps loop
+(``dino.py:181-195``). Here a single configurable module covers them all:
+
+* cls token / register tokens (DINOv2-reg, ``dino.py:203``),
+* learned pos-embed with bicubic resize (``evals/models/utils.py:12-52``) or
+  fixed 2D sin-cos (MAE, ``mae.py:74-89``), with or without a cls pos entry,
+* pre-norm blocks with fused-qkv attention, exact GELU MLP,
+* LayerScale (DeiT-III ``deit_utils.py``, BEiT-v2),
+* relative position bias tables (BEiT-v2 ``impl_utils/beit_model.py``),
+* 2D RoPE on q/k (CroCo-v2) via the Pallas kernel in ``ops.rope2d``,
+* windowed attention with decomposed relative positions (SAM).
+
+Layout is NHWC / (B, N, C); compute dtype is configurable (bfloat16 on TPU),
+params stay float32.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from midvision_probe_tpu.ops.image import resize
+from midvision_probe_tpu.ops.rope2d import rope_2d
+
+
+@dataclasses.dataclass(frozen=True)
+class ViTConfig:
+    patch_size: int = 16
+    width: int = 768
+    depth: int = 12
+    num_heads: int = 12
+    mlp_ratio: float = 4.0
+    in_channels: int = 3
+    class_token: bool = True
+    num_register_tokens: int = 0
+    pos_embed: str = "learned"  # learned | sincos2d | none
+    pos_embed_cls: bool = True  # pos-embed table includes a cls entry
+    # canonical (training-time) pos-embed grid; None = current input grid.
+    # Checkpoint loading fixes this to the stored table's grid and the table
+    # is bicubic-resized to the input grid at apply time (utils.py:12-52).
+    table_grid: tuple[int, int] | None = None
+    layernorm_eps: float = 1e-6
+    qkv_bias: bool = True
+    layerscale: bool = False
+    rel_pos_bias: bool = False  # BEiT-style per-block relative position bias
+    rope: bool = False  # CroCo-style 2D RoPE on q/k (no abs pos embed)
+    rope_base: float = 100.0
+    window_size: int = 0  # SAM-style windowed attention (0 = global)
+    global_attn_indexes: Sequence[int] = ()
+    use_rel_pos: bool = False  # SAM decomposed relative positions
+    final_norm: bool = False  # apply final LN to tapped outputs
+    pre_norm: bool = False  # CLIP-style LN before the blocks
+    dtype: Any = jnp.float32
+
+    @property
+    def head_dim(self) -> int:
+        return self.width // self.num_heads
+
+    @property
+    def num_prefix_tokens(self) -> int:
+        return (1 if self.class_token else 0) + self.num_register_tokens
+
+
+def get_2d_sincos_pos_embed(embed_dim: int, grid_hw: tuple[int, int],
+                            add_cls_token: bool = False) -> np.ndarray:
+    """Fixed 2D sin-cos table (reference ``evals/models/utils.py:75-102``)."""
+    h, w = grid_hw
+    grid_h = np.arange(h, dtype=np.float32)
+    grid_w = np.arange(w, dtype=np.float32)
+    grid = np.meshgrid(grid_w, grid_h)  # w goes first
+    grid = np.stack(grid, axis=0).reshape(2, 1, h, w)
+
+    def _1d(dim, pos):
+        omega = np.arange(dim // 2, dtype=np.float64) / (dim / 2.0)
+        omega = 1.0 / 10000**omega
+        out = np.einsum("m,d->md", pos.reshape(-1), omega)
+        return np.concatenate([np.sin(out), np.cos(out)], axis=1)
+
+    emb = np.concatenate(
+        [_1d(embed_dim // 2, grid[0]), _1d(embed_dim // 2, grid[1])], axis=1
+    )
+    if add_cls_token:
+        emb = np.concatenate([np.zeros((1, embed_dim)), emb], axis=0)
+    return emb.astype(np.float32)
+
+
+def resize_pos_embed(pos: jnp.ndarray, hw: tuple[int, int],
+                     has_cls_token: bool = True,
+                     orig_hw: tuple[int, int] | None = None) -> jnp.ndarray:
+    """Bicubic antialiased pos-embed resize (reference ``utils.py:12-52``).
+
+    ``pos``: (n_tokens, C). Returns (new_n, C).
+    """
+    n_grid = pos.shape[0] - 1 if has_cls_token else pos.shape[0]
+    if n_grid == hw[0] * hw[1]:
+        return pos
+    if has_cls_token:
+        cls_embed, pos = pos[:1], pos[1:]
+    if orig_hw is None:
+        orig = int(round(math.sqrt(pos.shape[0])))
+        orig_hw = (orig, orig)
+    grid = pos.reshape(orig_hw[0], orig_hw[1], -1)
+    grid = resize(grid, hw, mode="bicubic", align_corners=False, antialias=True)
+    pos = grid.reshape(hw[0] * hw[1], -1)
+    if has_cls_token:
+        pos = jnp.concatenate([cls_embed, pos], axis=0)
+    return pos
+
+
+class Mlp(nn.Module):
+    cfg: ViTConfig
+
+    @nn.compact
+    def __call__(self, x):
+        c = self.cfg
+        hidden = int(c.width * c.mlp_ratio)
+        x = nn.Dense(hidden, dtype=c.dtype, name="fc1")(x)
+        x = nn.gelu(x, approximate=False)
+        x = nn.Dense(c.width, dtype=c.dtype, name="fc2")(x)
+        return x
+
+
+def _rel_pos_index(window: tuple[int, int]) -> np.ndarray:
+    """BEiT relative-position index over a (h, w) grid + cls interactions."""
+    h, w = window
+    coords = np.stack(np.meshgrid(np.arange(h), np.arange(w), indexing="ij"))
+    coords = coords.reshape(2, -1)
+    rel = coords[:, :, None] - coords[:, None, :]
+    rel = rel.transpose(1, 2, 0).astype(np.int64)
+    rel[:, :, 0] += h - 1
+    rel[:, :, 1] += w - 1
+    rel[:, :, 0] *= 2 * w - 1
+    idx = np.zeros((h * w + 1, h * w + 1), dtype=np.int64)
+    num_rel = (2 * h - 1) * (2 * w - 1)
+    idx[1:, 1:] = rel.sum(-1)
+    idx[0, 0:] = num_rel
+    idx[0:, 0] = num_rel + 1
+    idx[0, 0] = num_rel + 2
+    return idx
+
+
+class Attention(nn.Module):
+    cfg: ViTConfig
+    layer_idx: int = 0
+
+    @nn.compact
+    def __call__(self, x, pos_2d=None, grid_hw=None):
+        c = self.cfg
+        B, N, C = x.shape
+        qkv = nn.Dense(3 * C, use_bias=c.qkv_bias, dtype=c.dtype, name="qkv")(x)
+        qkv = qkv.reshape(B, N, 3, c.num_heads, c.head_dim)
+        q, k, v = jnp.moveaxis(qkv, 2, 0)  # each (B, N, H, hd)
+        q = jnp.transpose(q, (0, 2, 1, 3))  # (B, H, N, hd)
+        k = jnp.transpose(k, (0, 2, 1, 3))
+        v = jnp.transpose(v, (0, 2, 1, 3))
+
+        if c.rope and pos_2d is not None:
+            # rotate patch tokens only; prefix tokens are left untouched
+            p = c.num_prefix_tokens
+            q_pat = rope_2d(q[:, :, p:], pos_2d, base=c.rope_base,
+                            use_pallas=False)
+            k_pat = rope_2d(k[:, :, p:], pos_2d, base=c.rope_base,
+                            use_pallas=False)
+            q = jnp.concatenate([q[:, :, :p], q_pat], axis=2)
+            k = jnp.concatenate([k[:, :, :p], k_pat], axis=2)
+
+        scale = c.head_dim**-0.5
+        attn = jnp.einsum(
+            "bhqd,bhkd->bhqk", q * scale, k, preferred_element_type=jnp.float32
+        )
+
+        if c.rel_pos_bias and grid_hw is not None:
+            h, w = grid_hw
+            num_rel = (2 * h - 1) * (2 * w - 1) + 3
+            table = self.param(
+                "rel_pos_bias_table",
+                nn.initializers.zeros,
+                (num_rel, c.num_heads),
+                jnp.float32,
+            )
+            idx = jnp.asarray(_rel_pos_index((h, w)))
+            bias = table[idx]  # (N, N, H)
+            attn = attn + jnp.transpose(bias, (2, 0, 1))[None].astype(attn.dtype)
+
+        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(c.dtype)
+        out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+        out = jnp.transpose(out, (0, 2, 1, 3)).reshape(B, N, C)
+        out = nn.Dense(C, dtype=c.dtype, name="proj")(out)
+        return out
+
+
+class Block(nn.Module):
+    cfg: ViTConfig
+    layer_idx: int = 0
+
+    @nn.compact
+    def __call__(self, x, pos_2d=None, grid_hw=None):
+        c = self.cfg
+        h = nn.LayerNorm(epsilon=c.layernorm_eps, dtype=c.dtype, name="norm1")(x)
+        h = Attention(c, self.layer_idx, name="attn")(h, pos_2d, grid_hw)
+        if c.layerscale:
+            gamma1 = self.param(
+                "gamma_1", nn.initializers.ones, (c.width,), jnp.float32
+            )
+            h = h * gamma1.astype(c.dtype)
+        x = x + h
+        h = nn.LayerNorm(epsilon=c.layernorm_eps, dtype=c.dtype, name="norm2")(x)
+        h = Mlp(c, name="mlp")(h)
+        if c.layerscale:
+            gamma2 = self.param(
+                "gamma_2", nn.initializers.ones, (c.width,), jnp.float32
+            )
+            h = h * gamma2.astype(c.dtype)
+        return x + h
+
+
+class ViT(nn.Module):
+    """Generic ViT; ``__call__`` returns per-block token taps.
+
+    Args (call):
+        images: (B, H, W, 3), already preprocessed/normalized.
+        taps: block indices to capture (raw block outputs, matching the
+            reference loop at ``dino.py:181-195``).
+
+    Returns:
+        dict with ``tokens``: list of (B, N, C) tapped token tensors (prefix
+        tokens first), ``grid_hw``: the patch-grid shape.
+    """
+
+    cfg: ViTConfig
+
+    @nn.compact
+    def __call__(self, images: jnp.ndarray, taps: Sequence[int]):
+        c = self.cfg
+        B, H, W, _ = images.shape
+        gh, gw = H // c.patch_size, W // c.patch_size
+
+        x = nn.Conv(
+            c.width,
+            (c.patch_size, c.patch_size),
+            strides=(c.patch_size, c.patch_size),
+            padding="VALID",
+            dtype=c.dtype,
+            name="patch_embed",
+        )(images.astype(c.dtype))
+        x = x.reshape(B, gh * gw, c.width)
+
+        if c.class_token:
+            cls = self.param(
+                "cls_token", nn.initializers.zeros, (1, 1, c.width), jnp.float32
+            )
+            x = jnp.concatenate(
+                [jnp.broadcast_to(cls.astype(c.dtype), (B, 1, c.width)), x], axis=1
+            )
+
+        if c.pos_embed == "learned":
+            tg = c.table_grid or (gh, gw)
+            table_len = tg[0] * tg[1] + (1 if c.pos_embed_cls else 0)
+            pos = self.param(
+                "pos_embed",
+                nn.initializers.normal(0.02),
+                (table_len, c.width),
+                jnp.float32,
+            )
+            pos = resize_pos_embed(
+                pos, (gh, gw), has_cls_token=c.pos_embed_cls, orig_hw=c.table_grid
+            )
+            if c.class_token and not c.pos_embed_cls:
+                pos = jnp.concatenate([jnp.zeros_like(pos[:1]), pos], axis=0)
+            if not c.class_token and c.pos_embed_cls:
+                pos = pos[1:]
+            x = x + pos[None].astype(c.dtype)
+        elif c.pos_embed == "sincos2d":
+            pos = jnp.asarray(
+                get_2d_sincos_pos_embed(c.width, (gh, gw), add_cls_token=c.class_token)
+            )
+            x = x + pos[None].astype(c.dtype)
+
+        if c.num_register_tokens:
+            reg = self.param(
+                "register_tokens",
+                nn.initializers.zeros,
+                (1, c.num_register_tokens, c.width),
+                jnp.float32,
+            )
+            reg = jnp.broadcast_to(
+                reg.astype(c.dtype), (B, c.num_register_tokens, c.width)
+            )
+            if c.class_token:
+                x = jnp.concatenate([x[:, :1], reg, x[:, 1:]], axis=1)
+            else:
+                x = jnp.concatenate([reg, x], axis=1)
+
+        if c.pre_norm:
+            x = nn.LayerNorm(epsilon=c.layernorm_eps, dtype=c.dtype, name="norm_pre")(x)
+
+        pos_2d = None
+        if c.rope:
+            yy, xx = jnp.meshgrid(jnp.arange(gh), jnp.arange(gw), indexing="ij")
+            pos_2d = jnp.stack([yy.reshape(-1), xx.reshape(-1)], axis=-1)
+            pos_2d = jnp.broadcast_to(pos_2d[None], (B, gh * gw, 2))
+
+        taps = list(taps)
+        outputs: dict[int, jnp.ndarray] = {}
+        max_tap = max(taps)
+        final_norm = (
+            nn.LayerNorm(epsilon=c.layernorm_eps, dtype=c.dtype, name="norm")
+            if c.final_norm
+            else None
+        )
+        for i in range(c.depth):
+            x = Block(c, i, name=f"blocks_{i}")(x, pos_2d, (gh, gw))
+            if i in taps:
+                outputs[i] = final_norm(x) if final_norm is not None else x
+            if i == max_tap:
+                break
+
+        return {
+            "tokens": [outputs[i] for i in taps],
+            "grid_hw": (gh, gw),
+        }
+
+
+# Canonical size presets (width/depth/heads) used across the zoo.
+VIT_PRESETS = {
+    "vit_small": dict(width=384, depth=12, num_heads=6),
+    "vit_base": dict(width=768, depth=12, num_heads=12),
+    "vit_large": dict(width=1024, depth=24, num_heads=16),
+    "vit_huge": dict(width=1280, depth=32, num_heads=16),
+    "vit_giant": dict(width=1536, depth=40, num_heads=24),
+}

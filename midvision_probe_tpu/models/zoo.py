@@ -1,0 +1,472 @@
+"""Declarative backbone zoo + reference-compatible wrapper classes.
+
+The reference implements ~45 torch wrapper classes, one file per checkpoint
+family (SURVEY §2.2), each re-stating the same tap/normalize/reshape loop.
+Here each checkpoint is a data entry — architecture config + weight source +
+converter — and two generic builders produce ``FeatureExtractor``s:
+
+* ``build_vit_extractor``    (covers DINO/DINOv2, MAE, iBOT, MoCo-v3,
+  MaskFeat, MILAN, EVA, PixMIM, DeiT-III, BEiT-v2, CroCo, ...)
+* ``build_resnet_extractor`` (covers the 17-model SSL ResNet-50 zoo)
+
+Weights: this environment has zero egress, so checkpoints are resolved from
+``$MVP_CHECKPOINT_DIR`` (default ``./checkpoints``); a present torch file is
+unwrapped (``convert.remap``) and converted; otherwise the extractor is
+random-initialized with a loud warning (feature *protocol* stays intact).
+The original download URLs are recorded per entry for provenance.
+
+Wrapper classes at the bottom keep the reference ctor surfaces
+(``configs/backbone/*.yaml``) working unchanged.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import os
+from typing import Any, Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from midvision_probe_tpu.models.convert import (
+    convert_resnet50,
+    convert_vit_hf,
+    convert_vit_timm,
+)
+from midvision_probe_tpu.models.convert.remap import unwrap_checkpoint
+from midvision_probe_tpu.models.feature_extractor import (
+    FeatureExtractor,
+    FeatureSpec,
+    default_vit_multilayers,
+    make_resnet_feature_fn,
+    make_vit_feature_fn,
+)
+from midvision_probe_tpu.models.resnet import RESNET50_FEAT_DIMS, ResNet50
+from midvision_probe_tpu.models.vit import VIT_PRESETS, ViT, ViTConfig
+
+log = logging.getLogger(__name__)
+
+IMAGENET_MEAN = (0.485, 0.456, 0.406)
+IMAGENET_STD = (0.229, 0.224, 0.225)
+OPENAI_CLIP_MEAN = (0.48145466, 0.4578275, 0.40821073)
+OPENAI_CLIP_STD = (0.26862954, 0.26130258, 0.27577711)
+
+
+@dataclasses.dataclass(frozen=True)
+class ZooEntry:
+    name: str  # checkpoint_name in the reference CSVs
+    arch: str  # "vit" | "resnet"
+    source: str  # unwrap_checkpoint convention
+    filename: str  # expected file under $MVP_CHECKPOINT_DIR
+    url: str = ""  # original weight source (provenance only)
+    vit: dict | None = None  # ViTConfig kwargs
+    converter: str = "timm"  # timm | hf | resnet
+    prefix: str = ""  # key prefix inside the trunk state_dict
+    image_mean: tuple = IMAGENET_MEAN
+    image_std: tuple = IMAGENET_STD
+    default_size: int = 224
+
+
+def _vit(preset: str, patch: int, table: int | None = None, **kw) -> dict:
+    d = dict(VIT_PRESETS[preset])
+    d["patch_size"] = patch
+    if table is not None:
+        d["table_grid"] = (table, table)
+    d.update(kw)
+    return d
+
+
+ZOO: dict[str, ZooEntry] = {}
+
+
+def register(entry: ZooEntry) -> ZooEntry:
+    ZOO[entry.name] = entry
+    return entry
+
+
+# --- ViT family (reference files: dino.py, mae.py, ibot.py, mocov3.py,
+#     maskfeat.py, milan.py, eva.py, pixmlm.py, deit.py, beit_v2.py) --------
+register(ZooEntry(
+    "dino_vitb16", "vit", "raw", "dino_vitb16.pth",
+    url="facebookresearch/dino:dino_vitb16",
+    vit=_vit("vit_base", 16, 14),
+))
+register(ZooEntry(
+    "dino_vitb8", "vit", "raw", "dino_vitb8.pth",
+    url="facebookresearch/dino:dino_vitb8",
+    vit=_vit("vit_base", 8, 28),
+))
+register(ZooEntry(
+    "dinov2_vitb14", "vit", "raw", "dinov2_vitb14.pth",
+    url="facebookresearch/dinov2:dinov2_vitb14",
+    vit=_vit("vit_base", 14, 37, layerscale=True),
+))
+register(ZooEntry(
+    "dinov2_vitb14_reg", "vit", "raw", "dinov2_vitb14_reg.pth",
+    url="facebookresearch/dinov2:dinov2_vitb14_reg",
+    vit=_vit("vit_base", 14, 37, layerscale=True, num_register_tokens=4),
+))
+register(ZooEntry(
+    "dinov2_vitl14", "vit", "raw", "dinov2_vitl14.pth",
+    url="facebookresearch/dinov2:dinov2_vitl14",
+    vit=_vit("vit_large", 14, 37, layerscale=True),
+))
+register(ZooEntry(
+    "mae_vitb16", "vit", "raw", "mae_vitb16.bin",
+    url="hf:facebook/vit-mae-base",
+    vit=_vit("vit_base", 16, pos_embed="sincos2d", layernorm_eps=1e-12),
+    converter="hf", prefix="vit.",
+))
+register(ZooEntry(
+    "mae_vitl16", "vit", "raw", "mae_vitl16.bin",
+    url="hf:facebook/vit-mae-large",
+    vit=_vit("vit_large", 16, pos_embed="sincos2d", layernorm_eps=1e-12),
+    converter="hf", prefix="vit.",
+))
+for _name, _preset, _ds in [
+    ("ibot_vitb16", "vit_base", "in1k"),
+    ("ibot_vitb16_in22k", "vit_base", "in22k"),
+    ("ibot_vitl16", "vit_large", "in1k"),
+    ("ibot_vitl16_in22k", "vit_large", "in22k"),
+]:
+    register(ZooEntry(
+        _name, "vit", "state_dict", f"{_name}.pth",
+        url=f"bytedance/ibot checkpoint_teacher.pth ({_ds})",
+        vit=_vit(_preset, 16, 14),
+    ))
+register(ZooEntry(
+    "mocov3_vitb16", "vit", "mocov3", "mocov3_vitb16.pth.tar",
+    url="dl.fbaipublicfiles.com/moco-v3/vit-b-300ep",
+    vit=_vit("vit_base", 16, 14),
+))
+register(ZooEntry(
+    "maskfeat_vitb16", "vit", "mmselfsup", "maskfeat_vitb16.pth",
+    url="openmmlab mmselfsup maskfeat vit-base-p16",
+    vit=_vit("vit_base", 16, 14, final_norm=False),
+))
+register(ZooEntry(
+    "milan_vitb16", "vit", "state_dict", "milan_vitb16.pth",
+    url="gdrive MILAN ViT-B/16",
+    vit=_vit("vit_base", 16, 14),
+))
+register(ZooEntry(
+    "eva_vitb16", "vit", "mmselfsup", "eva_vitb16.pth",
+    url="openmmlab mmselfsup eva-mae-style vit-base-p16",
+    vit=_vit("vit_base", 16, 14),
+))
+register(ZooEntry(
+    "pixmim_vitb16", "vit", "mmselfsup", "pixmim_vitb16.pth",
+    url="openmmlab mmselfsup pixmim vit-base-p16",
+    vit=_vit("vit_base", 16, 14),
+))
+register(ZooEntry(
+    "deit3_vitb16", "vit", "state_dict", "deit_3_base_384_21k.pth",
+    url="facebookresearch/deit:deit_3_base_384_21k",
+    vit=_vit("vit_base", 16, 24, layerscale=True), default_size=384,
+))
+register(ZooEntry(
+    "deit3_vitl16", "vit", "state_dict", "deit_3_large_384_21k.pth",
+    url="facebookresearch/deit:deit_3_large_384_21k",
+    vit=_vit("vit_large", 16, 24, layerscale=True), default_size=384,
+))
+register(ZooEntry(
+    "beitv2_vitb16", "vit", "state_dict", "beitv2_vitb16.pth",
+    url="gdrive BEiT-v2 ViT-B/16 (beit_v2.py:8-13)",
+    vit=_vit("vit_base", 16, pos_embed="none", rel_pos_bias=True,
+             layerscale=True),
+))
+
+
+# --- ResNet-50 SSL zoo (17 wrappers, template simclr.py:29-115) -----------
+_R50 = [
+    # (name, source, filename, url)
+    ("simclr_resnet50", "vissl", "simclr_resnet50.torch",
+     "dl.fbaipublicfiles.com/vissl simclr_rn50_1000ep"),
+    ("mocov2_resnet50", "mocov2", "mocov2_resnet50.pth.tar",
+     "dl.fbaipublicfiles.com/moco mocov2 800ep"),
+    ("simsiam_resnet50", "mocov2", "simsiam_resnet50.pth.tar",
+     "dl.fbaipublicfiles.com/simsiam 100ep-256bs"),
+    ("byol_resnet50", "state_dict", "byol_resnet50.pth.tar",
+     "gdrive byol r50 (byol.py)"),
+    ("barlowtwins_resnet50", "vissl", "barlowtwins_resnet50.torch",
+     "dl.fbaipublicfiles.com/vissl barlow_twins_32gpus_4node"),
+    ("densecl_resnet50", "state_dict", "densecl_resnet50.pth",
+     "mmselfsup densecl r50 imagenet 200ep"),
+    ("swav_resnet50", "vissl", "swav_resnet50.torch",
+     "dl.fbaipublicfiles.com/vissl swav_in1k_rn50_800ep"),
+    ("selav2_resnet50", "vissl", "selav2_resnet50.torch",
+     "dl.fbaipublicfiles.com/vissl sela-v2 400ep_2x224"),
+    ("deepclusterv2_resnet50", "vissl", "deepclusterv2_resnet50.torch",
+     "dl.fbaipublicfiles.com/vissl deepclusterv2_800ep"),
+    ("clusterfit_resnet50", "vissl", "clusterfit_resnet50.torch",
+     "dl.fbaipublicfiles.com/vissl clusterfit_16k_rotnet"),
+    ("npid_resnet50", "vissl", "npid_resnet50.torch",
+     "dl.fbaipublicfiles.com/vissl npid_1crop_200ep"),
+    ("npid_plusplus_resnet50", "vissl", "npid_plusplus_resnet50.torch",
+     "dl.fbaipublicfiles.com/vissl npid++ 4node_800ep"),
+    ("pirl_resnet50", "vissl", "pirl_resnet50.torch",
+     "dl.fbaipublicfiles.com/vissl pirl_jigsaw_4node_800ep"),
+    ("jigsaw_resnet50", "vissl", "jigsaw_resnet50.torch",
+     "dl.fbaipublicfiles.com/vissl jigsaw_rn50_in22k"),
+    ("rotnet_resnet50", "vissl", "rotnet_resnet50.torch",
+     "dl.fbaipublicfiles.com/vissl rotnet_rn50_in22k"),
+    ("mocov3_resnet50", "mocov3", "mocov3_resnet50.pth.tar",
+     "dl.fbaipublicfiles.com/moco-v3 r50 1000ep"),
+    ("dino_resnet50", "raw", "dino_resnet50.pth",
+     "facebookresearch/dino:dino_resnet50"),
+]
+for _name, _source, _file, _url in _R50:
+    register(ZooEntry(_name, "resnet", _source, _file, url=_url,
+                      default_size=480))
+
+
+# --------------------------------------------------------------------------
+# checkpoint resolution
+# --------------------------------------------------------------------------
+def checkpoint_dir() -> str:
+    return os.environ.get("MVP_CHECKPOINT_DIR", "checkpoints")
+
+
+def _load_torch_file(path: str):
+    import torch
+
+    return torch.load(path, map_location="cpu", weights_only=False)
+
+
+def load_variables(entry: ZooEntry, cfg: ViTConfig | None) -> dict | None:
+    """Resolve + convert weights; None if no checkpoint is on disk."""
+    path = os.path.join(checkpoint_dir(), entry.filename)
+    if not os.path.exists(path):
+        return None
+    ckpt = _load_torch_file(path)
+    sd = unwrap_checkpoint(ckpt, entry.source)
+    if entry.arch == "resnet":
+        return convert_resnet50(sd, prefix=entry.prefix)
+    if entry.converter == "hf":
+        return convert_vit_hf(sd, cfg, prefix=entry.prefix)
+    return convert_vit_timm(sd, cfg, prefix=entry.prefix)
+
+
+def _random_init(module, size: int, example_kw: dict | None = None) -> dict:
+    rng = jax.random.PRNGKey(0)
+    dummy = jnp.zeros((1, size, size, 3), jnp.float32)
+    kw = example_kw or {}
+    return module.init(rng, dummy, **kw)
+
+
+# --------------------------------------------------------------------------
+# generic builders
+# --------------------------------------------------------------------------
+def build_vit_extractor(
+    name: str,
+    output: str = "dense",
+    layer: int = -1,
+    return_multilayer: bool = False,
+    add_norm: bool = False,
+    return_cls: bool = False,
+    dtype: Any = jnp.float32,
+    init_size: int | None = None,
+) -> FeatureExtractor:
+    entry = ZOO[name]
+    cfg = ViTConfig(dtype=dtype, **entry.vit)
+
+    multilayers = default_vit_multilayers(cfg.depth)
+    if not return_multilayer:
+        multilayers = [multilayers[-1] if layer == -1 else layer]
+
+    feat_dim = cfg.width * (2 if output == "dense-cls" else 1)
+    spec = FeatureSpec(
+        feat_dim=[feat_dim] * len(multilayers) if return_multilayer else feat_dim,
+        patch_size=cfg.patch_size,
+        multilayers=tuple(multilayers),
+        arch="vit",
+        checkpoint_name=name,
+        output=output,
+        num_layers=cfg.depth,
+        add_norm=add_norm,
+        image_mean=entry.image_mean,
+        image_std=entry.image_std,
+    )
+    module = ViT(cfg)
+    variables = load_variables(entry, cfg)
+    if variables is None:
+        log.warning(
+            "no checkpoint for %s under %s — random init (feature protocol "
+            "only; place %s there for real features)",
+            name, checkpoint_dir(), entry.filename,
+        )
+        variables = _random_init(
+            module, init_size or entry.default_size, {"taps": tuple(multilayers)}
+        )
+    apply_fn = make_vit_feature_fn(
+        module, multilayers, output, cfg.num_prefix_tokens
+    )
+    return FeatureExtractor(
+        apply_fn, variables, spec,
+        return_multilayer=return_multilayer, return_cls=return_cls,
+    )
+
+
+def build_resnet_extractor(
+    name: str,
+    output: str = "dense",
+    return_layers: Sequence[int] | None = None,
+    return_multilayer: bool = False,
+    add_norm: bool = False,
+    return_cls: bool = False,
+    dtype: Any = jnp.float32,
+) -> FeatureExtractor:
+    entry = ZOO[name]
+    return_layers = list(return_layers) if return_layers is not None else [0, 1, 2, 3, 4]
+    feat_dims = [RESNET50_FEAT_DIMS[i] for i in return_layers]
+    multilayers = return_layers if return_multilayer else [return_layers[-1]]
+
+    spec = FeatureSpec(
+        feat_dim=feat_dims if return_multilayer else feat_dims[-1],
+        patch_size=0,
+        multilayers=tuple(multilayers),
+        arch="resnet",
+        checkpoint_name=f"{name}_{output}_{return_layers}",
+        output=output,
+        num_layers=5,
+        add_norm=add_norm,
+        image_mean=entry.image_mean,
+        image_std=entry.image_std,
+    )
+    module = ResNet50(dtype=dtype)
+    variables = load_variables(entry, None)
+    if variables is None:
+        log.warning(
+            "no checkpoint for %s under %s — random init", name, checkpoint_dir()
+        )
+        variables = _random_init(module, 64, {"taps": tuple(multilayers)})
+    apply_fn = make_resnet_feature_fn(module, multilayers)
+    return FeatureExtractor(
+        apply_fn, variables, spec,
+        return_multilayer=return_multilayer, return_cls=return_cls,
+    )
+
+
+# --------------------------------------------------------------------------
+# reference-compatible wrapper classes (ctor surfaces from
+# configs/backbone/*.yaml; extra legacy kwargs accepted and ignored)
+# --------------------------------------------------------------------------
+_COMMON_IGNORED = ("return_kqv", "fixed_size", "mode_selected", "return_layers")
+
+
+def _clean(kwargs: dict) -> dict:
+    for k in _COMMON_IGNORED:
+        kwargs.pop(k, None)
+    return kwargs
+
+
+def DINO(dino_name="dino", model_name="vitb16", output="dense", layer=-1,
+         return_multilayer=False, add_norm=False, return_cls=False,
+         checkpoint_name=None, **kw) -> FeatureExtractor:
+    """reference ``dino.py:9`` (both dino and dinov2 hubs)."""
+    name = checkpoint_name or f"{dino_name}_{model_name}"
+    name = {
+        "dino_vitb16": "dino_vitb16",
+        "dino_vitb8": "dino_vitb8",
+        "dinov2_vitb14": "dinov2_vitb14",
+        "dinov2_vitb14_reg": "dinov2_vitb14_reg",
+        "dinov2_vitl14": "dinov2_vitl14",
+        "dinov2_b14": "dinov2_vitb14",
+    }.get(name, name)
+    return build_vit_extractor(
+        name, output=output, layer=layer, return_multilayer=return_multilayer,
+        add_norm=add_norm, return_cls=return_cls, **_clean(kw),
+    )
+
+
+def MAE(checkpoint="facebook/vit-mae-base", output="dense", layer=-1,
+        return_multilayer=False, add_norm=False, return_cls=False, **kw):
+    name = "mae_vitl16" if "large" in checkpoint else "mae_vitb16"
+    return build_vit_extractor(
+        name, output=output, layer=layer, return_multilayer=return_multilayer,
+        add_norm=add_norm, return_cls=return_cls, **_clean(kw),
+    )
+
+
+def iBOT(model_type="base", dataset="in1k", output="dense", layer=-1,
+         return_multilayer=False, add_norm=False, return_cls=False, **kw):
+    name = f"ibot_vit{'b' if model_type == 'base' else 'l'}16"
+    if dataset == "in22k":
+        name += "_in22k"
+    return build_vit_extractor(
+        name, output=output, layer=layer, return_multilayer=return_multilayer,
+        add_norm=add_norm, return_cls=return_cls, **_clean(kw),
+    )
+
+
+def MoCoV3(model_name="vitb16", output="dense", layer=-1,
+           return_multilayer=False, add_norm=False, return_cls=False, **kw):
+    return build_vit_extractor(
+        "mocov3_vitb16", output=output, layer=layer,
+        return_multilayer=return_multilayer, add_norm=add_norm,
+        return_cls=return_cls, **_clean(kw),
+    )
+
+
+def _simple_vit_wrapper(zoo_name: str):
+    def ctor(model_name="vitb16", output="dense", layer=-1,
+             return_multilayer=False, add_norm=False, return_cls=False, **kw):
+        return build_vit_extractor(
+            zoo_name, output=output, layer=layer,
+            return_multilayer=return_multilayer, add_norm=add_norm,
+            return_cls=return_cls, **_clean(kw),
+        )
+
+    return ctor
+
+
+MASKFEAT = _simple_vit_wrapper("maskfeat_vitb16")
+MILAN = _simple_vit_wrapper("milan_vitb16")
+EVA = _simple_vit_wrapper("eva_vitb16")
+PIXMLM = _simple_vit_wrapper("pixmim_vitb16")
+BEiTV2 = _simple_vit_wrapper("beitv2_vitb16")
+
+
+def DeIT(model_size="base", img_size=384, output="dense", layer=-1,
+         return_multilayer=False, add_norm=False, return_cls=False, **kw):
+    name = "deit3_vitb16" if model_size == "base" else "deit3_vitl16"
+    return build_vit_extractor(
+        name, output=output, layer=layer, return_multilayer=return_multilayer,
+        add_norm=add_norm, return_cls=return_cls, **_clean(kw),
+    )
+
+
+def _resnet_wrapper(zoo_name: str):
+    def ctor(arch="resnet50", return_layers=None, output="dense",
+             return_multilayer=False, add_norm=False, return_cls=False, **kw):
+        kw.pop("dino_name", None)
+        kw.pop("model_name", None)
+        _clean(kw)
+        return build_resnet_extractor(
+            zoo_name, output=output, return_layers=return_layers,
+            return_multilayer=return_multilayer, add_norm=add_norm,
+            return_cls=return_cls, **kw,
+        )
+
+    return ctor
+
+
+SIMCLR = _resnet_wrapper("simclr_resnet50")
+MOCOV2 = _resnet_wrapper("mocov2_resnet50")
+SIMSIAM = _resnet_wrapper("simsiam_resnet50")
+BYOL = _resnet_wrapper("byol_resnet50")
+BARLOWTWINS = _resnet_wrapper("barlowtwins_resnet50")
+DENSECL = _resnet_wrapper("densecl_resnet50")
+SWAV = _resnet_wrapper("swav_resnet50")
+SELAV2 = _resnet_wrapper("selav2_resnet50")
+DEEPCLUSTERV2 = _resnet_wrapper("deepclusterv2_resnet50")
+CLUSTERFIT = _resnet_wrapper("clusterfit_resnet50")
+NPID = _resnet_wrapper("npid_resnet50")
+NPID_PLUSPLUS = _resnet_wrapper("npid_plusplus_resnet50")
+PIRL = _resnet_wrapper("pirl_resnet50")
+JIGSAW = _resnet_wrapper("jigsaw_resnet50")
+ROTNET = _resnet_wrapper("rotnet_resnet50")
+MoCoV3_RES = _resnet_wrapper("mocov3_resnet50")
+DINO_RESNET = _resnet_wrapper("dino_resnet50")
