@@ -1,0 +1,122 @@
+"""Loader builder (reference ``evals/datasets/builder.py:39-67``).
+
+TPU-first design: one host process feeds the whole mesh (single-controller
+JAX), so the ``DistributedSampler`` machinery collapses to a per-host shard
+slice. The loader yields stacked numpy batches; device placement/sharding
+happens in the engine (``parallel.shard_batch``). A small thread prefetcher
+overlaps host IO with device compute (the reference disabled workers
+entirely, ``builder.py:54``).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Any, Iterator
+
+import numpy as np
+
+from midvision_probe_tpu.config import instantiate
+
+
+class Loader:
+    def __init__(self, dataset, batch_size: int, shuffle: bool = False,
+                 drop_last: bool = False, seed: int = 0,
+                 num_shards: int = 1, shard_index: int = 0,
+                 prefetch: int = 2):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.seed = seed
+        self.num_shards = num_shards
+        self.shard_index = shard_index
+        self.prefetch = prefetch
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        """Reshuffle per epoch (``sampler.set_epoch``,
+        ``train_depth.py:94-95``)."""
+        self.epoch = epoch
+
+    def _indices(self) -> np.ndarray:
+        n = len(self.dataset)
+        idx = np.arange(n)
+        if self.shuffle:
+            rng = np.random.RandomState(self.seed + self.epoch)
+            rng.shuffle(idx)
+        # per-host shard (DistributedSampler equivalent)
+        return idx[self.shard_index:: self.num_shards]
+
+    def __len__(self) -> int:
+        n = len(self._indices())
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def __iter__(self) -> Iterator[dict]:
+        idx = self._indices()
+        nb = len(self)
+
+        def produce(q: queue.Queue):
+            try:
+                for b in range(nb):
+                    sel = idx[b * self.batch_size: (b + 1) * self.batch_size]
+                    items = [self.dataset[int(i)] for i in sel]
+                    q.put(_stack(items))
+                q.put(None)
+            except BaseException as e:  # propagate into consumer
+                q.put(e)
+
+        q: queue.Queue = queue.Queue(maxsize=max(self.prefetch, 1))
+        t = threading.Thread(target=produce, args=(q,), daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is None:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+
+
+def _stack(items: list[dict]) -> dict:
+    out: dict[str, Any] = {}
+    for k in items[0]:
+        vals = [it[k] for it in items]
+        if isinstance(vals[0], np.ndarray) or np.isscalar(vals[0]):
+            out[k] = np.stack(vals)
+        else:
+            out[k] = vals
+    return out
+
+
+def build_loader(
+    dataset_cfg,
+    split: str,
+    batch_size: int,
+    num_shards: int = 1,
+    shard_index: int = 0,
+    pair_dataset: bool = False,
+    shuffle: bool | None = None,
+    seed: int = 0,
+) -> Loader:
+    """Instantiate the dataset from config and wrap it (``builder.py:39-67``).
+
+    ``num_shards``/``shard_index`` correspond to multi-host data sharding
+    (the reference's per-rank DistributedSampler, ``builder.py:50-52``).
+    """
+    kwargs = {"split": split}
+    if pair_dataset:
+        kwargs["pair_dataset"] = True
+    dataset = instantiate(dataset_cfg, **kwargs)
+    is_train = "train" in split
+    return Loader(
+        dataset,
+        batch_size=batch_size,
+        shuffle=is_train if shuffle is None else shuffle,
+        drop_last=is_train,
+        seed=seed,
+        num_shards=num_shards,
+        shard_index=shard_index,
+    )

@@ -1,0 +1,113 @@
+"""Synthetic datasets for smoke tests and hardware-free development.
+
+The reference has no test fixtures at all (SURVEY §4); these generators
+produce deterministic, geometrically-consistent samples in the exact item
+layout of each real dataset so the full train/eval stack runs end-to-end
+without any downloaded data.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+class SyntheticDepth:
+    """NYU-shaped items: image/depth/snorm/segmentation.
+
+    The scene is a smooth random height-field; normals are derived from the
+    depth gradient, so probes can genuinely (over)fit it.
+    """
+
+    name = "synthetic"
+
+    def __init__(self, num_instances=16, image_size=(64, 64), max_depth=10.0,
+                 seed=0, **_):
+        self.num_instances = num_instances
+        self.image_size = tuple(image_size)
+        self.max_depth = max_depth
+        self.seed = seed
+
+    def __len__(self):
+        return self.num_instances
+
+    def __getitem__(self, index):
+        h, w = self.image_size
+        rng = np.random.RandomState(self.seed * 100003 + index)
+        # smooth depth field
+        base = rng.randn(h // 8 + 2, w // 8 + 2)
+        ys = np.linspace(0, base.shape[0] - 1.001, h)
+        xs = np.linspace(0, base.shape[1] - 1.001, w)
+        yi, xi = np.floor(ys).astype(int), np.floor(xs).astype(int)
+        fy, fx = (ys - yi)[:, None], (xs - xi)[None, :]
+        d = (
+            base[yi][:, xi] * (1 - fy) * (1 - fx)
+            + base[yi + 1][:, xi] * fy * (1 - fx)
+            + base[yi][:, xi + 1] * (1 - fy) * fx
+            + base[yi + 1][:, xi + 1] * fy * fx
+        )
+        depth = (3.0 + 1.5 * d).clip(0.3, self.max_depth - 0.5)
+
+        gy, gx = np.gradient(depth)
+        n = np.stack([-gx, -gy, np.ones_like(depth)], axis=-1)
+        n /= np.linalg.norm(n, axis=-1, keepdims=True)
+
+        image = np.stack(
+            [depth / self.max_depth, n[..., 0] * 0.5 + 0.5, n[..., 1] * 0.5 + 0.5],
+            axis=-1,
+        ).astype(np.float32)
+        image += rng.randn(h, w, 3).astype(np.float32) * 0.01
+
+        seg = (depth > np.median(depth)).astype(np.int32) * 7  # stuff id 0 / thing 7
+        # a few invalid pixels
+        mask = rng.rand(h, w) < 0.05
+        depth = np.where(mask, 0.0, depth)
+
+        return {
+            "image": image.astype(np.float32),
+            "depth": depth[..., None].astype(np.float32),
+            "snorm": n.astype(np.float32),
+            "segmentation": seg,
+        }
+
+
+def Synthetic(split="train", num_instances=16, image_size=(64, 64), **kw):
+    """Config-facing factory (``dataset=synthetic``)."""
+    kw.pop("train_path", None)
+    kw.pop("test_path", None)
+    kw.pop("image_mean", None)
+    kw.pop("augment_train", None)
+    kw.pop("center_crop", None)
+    kw.pop("name", None)
+    seed = 0 if "train" in split else 1
+    return SyntheticDepth(num_instances, image_size, seed=seed, **kw)
+
+
+class SyntheticBinaryMask:
+    """VOC-shaped items: image + binary object mask (for BinaryHead)."""
+
+    name = "synthetic_voc"
+
+    def __init__(self, num_instances=16, image_size=(64, 64), seed=0, **_):
+        self.num_instances = num_instances
+        self.image_size = tuple(image_size)
+        self.seed = seed
+
+    def __len__(self):
+        return self.num_instances
+
+    def __getitem__(self, index):
+        h, w = self.image_size
+        rng = np.random.RandomState(self.seed * 7919 + index)
+        cy, cx = rng.randint(h // 4, 3 * h // 4), rng.randint(w // 4, 3 * w // 4)
+        ry, rx = rng.randint(h // 8, h // 4), rng.randint(w // 8, w // 4)
+        yy, xx = np.mgrid[0:h, 0:w]
+        mask = (((yy - cy) / ry) ** 2 + ((xx - cx) / rx) ** 2 < 1).astype(
+            np.float32
+        )
+        image = np.stack([mask, 1 - mask, mask * 0.5], axis=-1).astype(np.float32)
+        image += rng.randn(h, w, 3).astype(np.float32) * 0.05
+        return {
+            "image": image,
+            "mask": mask[..., None],
+            "num_objects": np.int32(1),
+        }

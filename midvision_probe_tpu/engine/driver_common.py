@@ -1,0 +1,127 @@
+"""Shared driver plumbing for the probe trainers.
+
+The reference's three trainers duplicate ~800 LoC of setup/validate/CSV each
+(``train_depth.py``, ``train_snorm.py``, ``train_generic_objectness.py``);
+everything shareable lives here.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+import numpy as np
+
+from midvision_probe_tpu.config import Config, instantiate
+from midvision_probe_tpu.datasets import build_loader
+from midvision_probe_tpu.engine.probe_fit import ProbeTrainer
+from midvision_probe_tpu.utils.logging import CSVWriter, maybe_wandb, setup_logger
+
+
+def build_backbone(cfg: Config, needs_multilayer: bool):
+    """Instantiate the backbone; DPT/multiscale heads need 4 taps — mirror
+    the reference README's ``+backbone.return_multilayer=True`` convention
+    but default it on when the probe requires it."""
+    kwargs = {}
+    if needs_multilayer and not cfg.backbone.get("return_multilayer", False):
+        kwargs["return_multilayer"] = True
+    return instantiate(cfg.backbone, **kwargs)
+
+
+def experiment_name(cfg: Config, task: str, backbone, probe_tag: str) -> str:
+    """Reference-style experiment naming (``train_depth.py:575-600``)."""
+    train_info = (
+        f"{cfg.optimizer.n_epochs}ep_bs{cfg.batch_size}_lr{cfg.probe_lr}"
+    )
+    note = cfg.get("note", "")
+    parts = [task, backbone.checkpoint_name, f"layer-{backbone.layer}",
+             backbone.output, probe_tag, train_info]
+    if note:
+        parts.append(note)
+    return "_".join(str(p) for p in parts)
+
+
+def setup_experiment(cfg: Config, task: str, backbone, probe_tag: str):
+    exp_name = experiment_name(cfg, task, backbone, probe_tag)
+    exp_dir = os.path.join(cfg.get("output_dir", "result"), exp_name)
+    os.makedirs(exp_dir, exist_ok=True)
+    logger = setup_logger(exp_dir)
+    wandb = maybe_wandb(cfg)
+    return exp_name, exp_dir, logger, wandb
+
+
+def make_trainer(cfg: Config, backbone, probe, loss_fn, steps_per_epoch: int):
+    n_epochs = cfg.optimizer.n_epochs
+    warmup = cfg.optimizer.warmup_epochs
+    return ProbeTrainer(
+        backbone=backbone,
+        probe=probe,
+        loss_fn=loss_fn,
+        probe_lr=cfg.probe_lr,
+        n_steps=max(int(n_epochs * steps_per_epoch), 1),
+        warmup_steps=max(warmup * steps_per_epoch, 1e-6),
+        add_norm=bool(cfg.backbone.get("add_norm", False)),
+        num_devices=cfg.system.get("num_devices", -1),
+        seed=cfg.system.get("random_seed", 8),
+    )
+
+
+def fit(cfg: Config, trainer: ProbeTrainer, train_loader, logger, wandb,
+        exp_dir: str, resume: bool = True):
+    """Epoch loop with per-epoch orbax checkpointing and exact resume."""
+    from midvision_probe_tpu.engine.checkpoint import (
+        restore_checkpoint,
+        save_checkpoint,
+    )
+
+    first = next(iter(train_loader))
+    trainer.init(first)
+
+    ckpt_dir = os.path.join(exp_dir, "ckpt")
+    start_ep = 0
+    if resume:
+        restored = restore_checkpoint(ckpt_dir, trainer.state)
+        if restored is not None:
+            trainer.state, start_ep = restored
+            logger.info("resumed from epoch %d", start_ep)
+
+    n_epochs = int(cfg.optimizer.n_epochs)
+    for ep in range(start_ep, n_epochs):
+        train_loader.set_epoch(ep)
+        loss = trainer.train_epoch(train_loader, logger=logger, wandb=wandb)
+        logger.info("epoch %d/%d | train loss %.4f", ep + 1, n_epochs, loss)
+        save_checkpoint(ckpt_dir, trainer.state, ep + 1)
+    return trainer
+
+
+def flatten_metrics(global_metrics: dict, by_level: dict, prefix: str = ""
+                    ) -> dict:
+    row: dict[str, Any] = {}
+    for k, v in global_metrics.items():
+        row[f"{prefix}{k}"] = float(np.mean(v))
+    for lk, lv in by_level.items():
+        for k, v in lv.items():
+            row[f"{prefix}{lk}_{k}"] = float(np.mean(v))
+    return row
+
+
+def emit_csv(cfg: Config, path: str, exp_name: str, backbone, row: dict):
+    meta = {
+        "exp_name": exp_name,
+        "checkpoint": backbone.checkpoint_name,
+        "layer": backbone.layer,
+        "output": backbone.output,
+        "n_epochs": cfg.optimizer.n_epochs,
+        "batch_size": cfg.batch_size,
+        "probe_lr": cfg.probe_lr,
+        "note": cfg.get("note", ""),
+    }
+    meta.update(row)
+    CSVWriter(path).append(meta)
+    return meta
+
+
+__all__ = [
+    "build_backbone", "build_loader", "experiment_name", "setup_experiment",
+    "make_trainer", "fit", "flatten_metrics", "emit_csv",
+]

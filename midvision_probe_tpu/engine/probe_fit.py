@@ -1,0 +1,213 @@
+"""The shared probe-training engine — one jitted SPMD step for every task.
+
+TPU-first redesign of the reference hot loop (``train_depth.py:93-153``):
+
+* frozen backbone forward, tap-norms, probe forward, loss, backward and
+  optimizer update compile into ONE XLA program — no Python between the
+  feature extraction and the probe step, no host round-trips;
+* the batch is sharded over the mesh's ``data`` axis, params are replicated;
+  XLA inserts the gradient all-reduce over ICI (the reference needed DDP +
+  NCCL + ``find_unused_parameters=True`` for this, ``train_depth.py:619-622``);
+* backbone compute can run in bfloat16 (MXU-native) while probe params and
+  the optimizer stay float32.
+
+The reference's ``detach_model`` / ``torch.no_grad`` around the backbone
+(``train_depth.py:104-110``) becomes ``jax.lax.stop_gradient`` on the tapped
+features; ``model_lr`` is frozen at 0 in every reference config, so backbone
+finetuning is intentionally out of scope (matching actual reference usage).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any, Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from midvision_probe_tpu.models.feature_extractor import FeatureExtractor
+from midvision_probe_tpu.models.probes import TapNorms
+from midvision_probe_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from midvision_probe_tpu.utils.optim import cosine_decay_linear_warmup
+
+
+class TrainState(NamedTuple):
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+@dataclasses.dataclass
+class ProbeTrainer:
+    """Train a probe (plus optional tap-norms) on frozen features.
+
+    Args:
+        backbone: frozen FeatureExtractor.
+        probe: flax module taking the list of feature maps.
+        loss_fn: ``(pred, batch) -> scalar`` (NHWC pred at probe resolution;
+            resize-to-target happens inside the task's loss adapter).
+        probe_lr / n_steps / warmup_steps: reference optimizer recipe
+            (AdamW + cosine-with-warmup, ``train_depth.py:624-641``).
+        add_norm: train per-tap BatchNorms (reference ``add_norm`` flag).
+        probe_uses_batch_stats: BinaryHead/TaskonomyHead have a BatchNorm2d.
+    """
+
+    backbone: FeatureExtractor
+    probe: Any
+    loss_fn: Callable[[jnp.ndarray, dict], jnp.ndarray]
+    probe_lr: float = 5e-4
+    n_steps: int = 1000
+    warmup_steps: float = 150.0
+    add_norm: bool = False
+    num_devices: int = -1
+    seed: int = 8
+
+    def __post_init__(self):
+        self.mesh = make_mesh(self.num_devices)
+        self.tap_norms = (
+            TapNorms(num_taps=len(self.backbone.multilayers))
+            if self.add_norm
+            else None
+        )
+        schedule = cosine_decay_linear_warmup(
+            self.probe_lr, self.n_steps, self.warmup_steps
+        )
+        self.tx = optax.adamw(schedule)
+        self._train_step = None
+        self._eval_step = None
+        self.state: TrainState | None = None
+
+    # ---------------------------------------------------------------- init
+    def init(self, example_batch: dict) -> TrainState:
+        rng = jax.random.PRNGKey(self.seed)
+        images = jnp.asarray(example_batch["image"][:1])
+        feats = self.backbone.features(images)
+
+        params = {}
+        batch_stats = {}
+        if self.tap_norms is not None:
+            v = self.tap_norms.init(rng, feats, train=True)
+            params["tap"] = v["params"]
+            batch_stats["tap"] = v.get("batch_stats", {})
+            feats = self.tap_norms.apply(v, feats, train=False)
+
+        v = self.probe.init(rng, feats)
+        params["probe"] = v["params"]
+        batch_stats["probe"] = v.get("batch_stats", {})
+
+        opt_state = self.tx.init(params)
+        state = TrainState(params, batch_stats, opt_state, jnp.zeros((), jnp.int32))
+        self.state = replicate(state, self.mesh)
+        return self.state
+
+    # ------------------------------------------------------------- forward
+    def _forward(self, params, batch_stats, images, train: bool):
+        feats = self.backbone._apply_fn(self.backbone.variables, images)[0]
+        feats = [jax.lax.stop_gradient(f) for f in feats]
+        new_stats = dict(batch_stats)
+        if self.tap_norms is not None:
+            vars_in = {"params": params["tap"],
+                       "batch_stats": batch_stats.get("tap", {})}
+            if train:
+                feats, upd = self.tap_norms.apply(
+                    vars_in, feats, train=True, mutable=["batch_stats"]
+                )
+                new_stats["tap"] = upd["batch_stats"]
+            else:
+                feats = self.tap_norms.apply(vars_in, feats, train=False)
+
+        vars_in = {"params": params["probe"]}
+        has_bn = bool(batch_stats.get("probe"))
+        if has_bn:
+            vars_in["batch_stats"] = batch_stats["probe"]
+        kwargs = {}
+        if has_bn:
+            kwargs["train"] = train
+        if train and has_bn:
+            pred, upd = self.probe.apply(
+                vars_in, feats, mutable=["batch_stats"], **kwargs
+            )
+            new_stats["probe"] = upd["batch_stats"]
+        else:
+            pred = self.probe.apply(vars_in, feats, **kwargs)
+        return pred, new_stats
+
+    # ---------------------------------------------------------------- step
+    def _make_train_step(self):
+        def step(state: TrainState, batch: dict):
+            def loss_wrt(params):
+                pred, new_stats = self._forward(
+                    params, state.batch_stats, batch["image"], train=True
+                )
+                return self.loss_fn(pred, batch), new_stats
+
+            (loss, new_stats), grads = jax.value_and_grad(
+                loss_wrt, has_aux=True
+            )(state.params)
+            updates, opt_state = self.tx.update(
+                grads, state.opt_state, state.params
+            )
+            params = optax.apply_updates(state.params, updates)
+            return (
+                TrainState(params, new_stats, opt_state, state.step + 1),
+                loss,
+            )
+
+        return jax.jit(step, donate_argnums=(0,))
+
+    def train_epoch(self, loader, log_every: int = 50, logger=None,
+                    wandb=None) -> float:
+        if self._train_step is None:
+            self._train_step = self._make_train_step()
+        losses = []
+        t0 = time.time()
+        for i, batch in enumerate(loader):
+            batch = shard_batch(_to_jnp(batch), self.mesh)
+            self.state, loss = self._train_step(self.state, batch)
+            losses.append(loss)
+            if logger and (i + 1) % log_every == 0:
+                lv = float(jnp.mean(jnp.stack(losses[-log_every:])))
+                logger.info(
+                    "step %d | loss %.4f | %.2f it/s",
+                    int(self.state.step), lv, (i + 1) / (time.time() - t0),
+                )
+            if wandb is not None:
+                wandb.log({"loss_batch": float(loss)})
+        return float(jnp.mean(jnp.stack(losses))) if losses else float("nan")
+
+    # ----------------------------------------------------------- inference
+    def predict(self, batch: dict) -> jnp.ndarray:
+        if self._eval_step is None:
+
+            def step(params, batch_stats, images):
+                pred, _ = self._forward(params, batch_stats, images, train=False)
+                return pred
+
+            self._eval_step = jax.jit(step)
+        batch = shard_batch(_to_jnp(batch), self.mesh)
+        return self._eval_step(
+            self.state.params, self.state.batch_stats, batch["image"]
+        )
+
+    def validate(self, loader, metric_fn, max_batches: int | None = None):
+        """Run ``metric_fn(pred, batch) -> dict of (B,) arrays`` over the
+        loader and return concatenated numpy metrics."""
+        acc: dict[str, list] = {}
+        for i, batch in enumerate(loader):
+            if max_batches is not None and i >= max_batches:
+                break
+            pred = self.predict(batch)
+            metrics = metric_fn(pred, _to_jnp(batch))
+            for k, v in metrics.items():
+                acc.setdefault(k, []).append(np.asarray(v).reshape(-1))
+        return {k: np.concatenate(v) for k, v in acc.items()}
+
+
+def _to_jnp(batch: dict) -> dict:
+    return {
+        k: v for k, v in batch.items() if isinstance(v, (np.ndarray, jnp.ndarray))
+    }

@@ -221,6 +221,14 @@ for _name, _source, _file, _url in _R50:
     register(ZooEntry(_name, "resnet", _source, _file, url=_url,
                       default_size=480))
 
+# tiny randomly-initialized ViT for smoke tests / CI (no reference analog —
+# the reference has no fixtures at all, SURVEY §4)
+register(ZooEntry(
+    "test_tiny_vit", "vit", "raw", "__never_exists__.pth",
+    vit=dict(patch_size=8, width=32, depth=4, num_heads=2, mlp_ratio=2.0),
+    default_size=64,
+))
+
 
 # --------------------------------------------------------------------------
 # checkpoint resolution
@@ -268,6 +276,7 @@ def build_vit_extractor(
     return_cls: bool = False,
     dtype: Any = jnp.float32,
     init_size: int | None = None,
+    checkpoint_name: str | None = None,  # config-surface nicety; ignored
 ) -> FeatureExtractor:
     entry = ZOO[name]
     cfg = ViTConfig(dtype=dtype, **entry.vit)

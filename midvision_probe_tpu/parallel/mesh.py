@@ -1,0 +1,44 @@
+"""Mesh construction and sharding helpers."""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(num_devices: int = -1, model_axis: int = 1) -> Mesh:
+    """1-D data mesh (default) or 2-D (data, model) mesh.
+
+    ``num_devices=-1`` uses all visible devices (the reference's
+    ``system.num_gpus`` counted GPUs; here devices come from the runtime).
+    """
+    devices = jax.devices()
+    if num_devices and num_devices > 0:
+        devices = devices[:num_devices]
+    n = len(devices)
+    assert model_axis >= 1 and n % model_axis == 0, (n, model_axis)
+    arr = np.asarray(devices).reshape(n // model_axis, model_axis)
+    return Mesh(arr, ("data", "model"))
+
+
+def data_sharding(mesh: Mesh, ndim: int = 4) -> NamedSharding:
+    """Batch-dim sharding over the data axis (rest replicated)."""
+    return NamedSharding(mesh, P("data", *([None] * (ndim - 1))))
+
+
+def shard_batch(batch, mesh: Mesh):
+    """Place a pytree of host arrays batch-sharded on the mesh."""
+
+    def put(x):
+        return jax.device_put(
+            x, NamedSharding(mesh, P("data", *([None] * (x.ndim - 1))))
+        )
+
+    return jax.tree_util.tree_map(put, batch)
+
+
+def replicate(tree, mesh: Mesh):
+    """Fully replicate a pytree (params/opt state) across the mesh."""
+    s = NamedSharding(mesh, P())
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), tree)

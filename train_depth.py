@@ -1,0 +1,125 @@
+#!/usr/bin/env python
+"""Depth-probe trainer (reference ``train_depth.py``, call stack SURVEY §3.1).
+
+Usage (reference-compatible):
+    python train_depth.py backbone=dino_b16 dataset=nyu \
+        +backbone.return_multilayer=True
+
+TPU redesign: single-controller JAX over a device mesh replaces
+``mp.spawn`` + DDP; the whole hot loop (frozen backbone forward + DPT probe
+fwd/bwd + AdamW update) is one jitted SPMD program; validation computes the
+full reference metric protocol (scale-aware + scale-invariant, stuff/things,
+5 centroid levels, per-segment d1) and appends the same CSV row layout.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from midvision_probe_tpu.config import instantiate, main
+from midvision_probe_tpu.engine.driver_common import (
+    build_backbone,
+    build_loader,
+    emit_csv,
+    fit,
+    make_trainer,
+    setup_experiment,
+)
+from midvision_probe_tpu.ops.image import resize
+from midvision_probe_tpu.utils.losses import depth_loss
+from midvision_probe_tpu.utils.metrics import evaluate_depth, segment_metrics_depth
+
+
+def run(cfg):
+    head_type = cfg.probe.get("head_type", "dpt")
+    backbone = build_backbone(cfg, needs_multilayer=head_type != "linear")
+
+    train_loader = build_loader(
+        cfg.dataset, "trainval", cfg.batch_size,
+        seed=cfg.system.get("random_seed", 8),
+    )
+    test_loader = build_loader(cfg.dataset, "test", cfg.batch_size)
+    max_depth = getattr(train_loader.dataset, "max_depth", 10.0)
+
+    probe = instantiate(cfg.probe, feat_dim=backbone.feat_dim,
+                        max_depth=max_depth)
+    exp_name, exp_dir, logger, wandb = setup_experiment(
+        cfg, "depth", backbone, probe.name_tag
+    )
+    logger.info("experiment: %s", exp_name)
+
+    def loss_fn(pred, batch):
+        target = batch["depth"]
+        pred = resize(pred, target.shape[1:3], mode="bilinear")
+        return depth_loss(pred, target, max_depth=max_depth)
+
+    trainer = make_trainer(cfg, backbone, probe, loss_fn, len(train_loader))
+
+    if not cfg.get("is_eval", False):
+        fit(cfg, trainer, train_loader, logger, wandb, exp_dir)
+    else:
+        trainer.init(next(iter(test_loader)))
+        from midvision_probe_tpu.engine.checkpoint import restore_checkpoint
+
+        ckpt = cfg.get("ckpt_path", "") or os.path.join(exp_dir, "ckpt")
+        restored = restore_checkpoint(ckpt, trainer.state)
+        if restored is None:
+            raise FileNotFoundError(f"no checkpoint under {ckpt}")
+        trainer.state, _ = restored
+
+    # ------------------------------------------------------------ validate
+    def metric_fn(scale_invariant):
+        def fn(pred, batch):
+            target = batch["depth"]
+            pred_r = resize(pred, target.shape[1:3], mode="bilinear")
+            g, lv = evaluate_depth(
+                pred_r, target, batch.get("segmentation"),
+                scale_invariant=scale_invariant,
+                is_navi="segmentation" not in batch,
+            )
+            flat = dict(g)
+            for lk, lvv in lv.items():
+                for k, v in lvv.items():
+                    flat[f"{lk}_{k}"] = v
+            return flat
+
+        return fn
+
+    sa = trainer.validate(test_loader, metric_fn(False))
+    si = trainer.validate(test_loader, metric_fn(True))
+    logger.info(
+        "scale-aware  d1 %.4f rmse %.4f | scale-invariant d1 %.4f rmse %.4f",
+        sa["d1"].mean(), sa["rmse"].mean(), si["d1"].mean(), si["rmse"].mean(),
+    )
+
+    # per-segment d1 table (reference train_depth.py:323-355 analog)
+    seg_rows = []
+    for i, batch in enumerate(test_loader):
+        if i >= 2 or "segmentation" not in batch:
+            break
+        pred = trainer.predict(batch)
+        pred_r = resize(pred, batch["depth"].shape[1:3], mode="bilinear")
+        seg_rows += segment_metrics_depth(
+            np.asarray(pred_r), batch["depth"], batch["segmentation"]
+        )
+
+    row = {}
+    row.update({f"sa_{k}": float(np.mean(v)) for k, v in sa.items()})
+    row.update({f"si_{k}": float(np.mean(v)) for k, v in si.items()})
+    csv_path = os.path.join(
+        cfg.get("output_dir", "result"),
+        f"depth_results_{getattr(train_loader.dataset, 'name', 'dataset')}_final.csv",
+    )
+    emit_csv(cfg, csv_path, exp_name, backbone, row)
+    wandb.log(row)
+    wandb.finish()
+    logger.info("results appended to %s", csv_path)
+    return row
+
+
+entry = main("depth_training")(run)
+
+if __name__ == "__main__":
+    entry()
