@@ -1,0 +1,77 @@
+#!/usr/bin/env python
+"""Headline benchmark: ViT-B/16 dense multilayer feature extraction,
+images/sec/chip (BASELINE.md "rebuild targets").
+
+This is the hot op of every reference pipeline (SURVEY §3.1: the frozen
+backbone forward dominates probe training and all correspondence evals).
+Protocol: DINO ViT-B/16, NYU resolution 480x640 (30x40 patch grid + cls),
+4-layer multilayer taps, bfloat16 compute — the jitted forward exactly as
+the probe trainers consume it.
+
+``vs_baseline`` compares against an *estimated* reference throughput of
+250 imgs/sec for the torch fp32 single-GPU pipeline (the reference repo
+publishes no benchmark numbers — BASELINE.json ``"published": {}``; 250 is a
+generous estimate for ViT-B/16 @ 480x640 fp32 with per-layer hooks on the
+reference's 2-GPU-per-node hardware class, ~120 GFLOPs/img forward).
+
+Prints ONE JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BASELINE_IMGS_PER_SEC = 250.0
+
+
+def main() -> None:
+    from midvision_probe_tpu.models import zoo
+
+    backbone = zoo.build_vit_extractor(
+        "dino_vitb16", output="dense", return_multilayer=True,
+        dtype=jnp.bfloat16, init_size=224,
+    )
+
+    @jax.jit
+    def forward(images):
+        maps, _ = backbone._apply_fn(backbone.variables, images)
+        # feature consumers read f32 maps (probes cast up anyway)
+        maps = [m.astype(jnp.float32) for m in maps]
+        # tiny checksum forces the whole computation to complete when
+        # fetched (block_until_ready alone does not flush the experimental
+        # axon platform's async dispatch queue)
+        return maps, jnp.sum(maps[-1][0, 0, 0])
+
+    batch = 32
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.randn(batch, 480, 640, 3).astype(np.float32))
+
+    # warmup / compile
+    _, chk = forward(images)
+    float(chk)
+
+    n_iters = 20
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        _, chk = forward(images)
+    float(chk)  # host fetch == full pipeline drain
+    dt = time.perf_counter() - t0
+
+    imgs_per_sec = batch * n_iters / dt
+    n_chips = max(jax.device_count(), 1)
+    value = imgs_per_sec / n_chips
+    print(json.dumps({
+        "metric": "vitb16_dense_multilayer_imgs_per_sec_per_chip",
+        "value": round(value, 2),
+        "unit": "imgs/sec/chip",
+        "vs_baseline": round(value / BASELINE_IMGS_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

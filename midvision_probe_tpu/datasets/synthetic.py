@@ -82,6 +82,16 @@ def Synthetic(split="train", num_instances=16, image_size=(64, 64), **kw):
     return SyntheticDepth(num_instances, image_size, seed=seed, **kw)
 
 
+def SyntheticVOC(split="trainval", num_instances=16, image_size=(64, 64), **kw):
+    """Config-facing factory for the VOC-shaped synthetic set."""
+    for k in ("trainval_path", "test_path", "trainval_jpeg_dir",
+              "test_jpeg_dir", "trainval_xml_dir", "test_xml_dir",
+              "image_mean", "fixed_size", "name"):
+        kw.pop(k, None)
+    seed = 0 if "train" in split else 1
+    return SyntheticBinaryMask(num_instances, image_size, seed=seed, **kw)
+
+
 class SyntheticBinaryMask:
     """VOC-shaped items: image + binary object mask (for BinaryHead)."""
 

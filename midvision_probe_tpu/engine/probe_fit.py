@@ -166,7 +166,7 @@ class ProbeTrainer:
         losses = []
         t0 = time.time()
         for i, batch in enumerate(loader):
-            batch = shard_batch(_to_jnp(batch), self.mesh)
+            batch = shard_batch(self._pad(_to_jnp(batch)), self.mesh)
             self.state, loss = self._train_step(self.state, batch)
             losses.append(loss)
             if logger and (i + 1) % log_every == 0:
@@ -179,6 +179,22 @@ class ProbeTrainer:
                 wandb.log({"loss_batch": float(loss)})
         return float(jnp.mean(jnp.stack(losses))) if losses else float("nan")
 
+    def _pad(self, batch: dict) -> dict:
+        """Pad the batch dim to a multiple of the data-axis size by repeating
+        leading rows (SPMD needs divisible shards; padded rows are real
+        samples so training losses stay valid)."""
+        n_data = self.mesh.shape["data"]
+        sizes = {v.shape[0] for v in batch.values()}
+        b = max(sizes)
+        pad = (-b) % n_data
+        if pad == 0:
+            return batch
+        idx = np.resize(np.arange(b), b + pad)  # cyclic repeat
+        return {
+            k: np.asarray(v)[idx] if hasattr(v, "shape") else v
+            for k, v in batch.items()
+        }
+
     # ----------------------------------------------------------- inference
     def predict(self, batch: dict) -> jnp.ndarray:
         if self._eval_step is None:
@@ -188,10 +204,13 @@ class ProbeTrainer:
                 return pred
 
             self._eval_step = jax.jit(step)
-        batch = shard_batch(_to_jnp(batch), self.mesh)
-        return self._eval_step(
+        batch = _to_jnp(batch)
+        b = batch["image"].shape[0]
+        batch = shard_batch(self._pad(batch), self.mesh)
+        pred = self._eval_step(
             self.state.params, self.state.batch_stats, batch["image"]
         )
+        return pred[:b]
 
     def validate(self, loader, metric_fn, max_batches: int | None = None):
         """Run ``metric_fn(pred, batch) -> dict of (B,) arrays`` over the

@@ -22,6 +22,7 @@ Wrapper classes at the bottom keep the reference ctor surfaces
 from __future__ import annotations
 
 import dataclasses
+import functools
 import logging
 import os
 from typing import Any, Callable, Sequence
@@ -258,10 +259,18 @@ def load_variables(entry: ZooEntry, cfg: ViTConfig | None) -> dict | None:
 
 
 def _random_init(module, size: int, example_kw: dict | None = None) -> dict:
-    rng = jax.random.PRNGKey(0)
-    dummy = jnp.zeros((1, size, size, 3), jnp.float32)
     kw = example_kw or {}
-    return module.init(rng, dummy, **kw)
+    # init on the CPU backend: flax init traces the full forward, and
+    # compiling that on a (possibly remote) TPU just to draw random params
+    # wastes minutes of compile time
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        rng = jax.random.PRNGKey(0)
+        dummy = jnp.zeros((1, size, size, 3), jnp.float32)
+        variables = jax.jit(
+            functools.partial(module.init, **kw), backend="cpu"
+        )(rng, dummy)
+    return jax.tree_util.tree_map(np.asarray, variables)
 
 
 # --------------------------------------------------------------------------

@@ -1,0 +1,116 @@
+#!/usr/bin/env python
+"""Surface-normal probe trainer (reference ``train_snorm.py``, structurally
+identical to the depth trainer — SURVEY §3.1 note).
+
+Differences from depth, preserved from the reference: bicubic prediction
+resize (``train_snorm.py:110``), Bae-et-al. angular loss with optional kappa
+uncertainty (``:113``), angular-recall metrics (11.25/22.5/30 degrees).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from midvision_probe_tpu.config import instantiate, main
+from midvision_probe_tpu.engine.driver_common import (
+    build_backbone,
+    build_loader,
+    emit_csv,
+    fit,
+    make_trainer,
+    setup_experiment,
+)
+from midvision_probe_tpu.ops.image import resize
+from midvision_probe_tpu.utils.losses import angular_loss
+from midvision_probe_tpu.utils.metrics import (
+    evaluate_surface_norm,
+    segment_metrics_snorm,
+)
+
+
+def run(cfg):
+    head_type = cfg.probe.get("head_type", "dpt")
+    backbone = build_backbone(cfg, needs_multilayer=head_type != "linear")
+
+    train_loader = build_loader(
+        cfg.dataset, "trainval", cfg.batch_size,
+        seed=cfg.system.get("random_seed", 8),
+    )
+    test_loader = build_loader(cfg.dataset, "test", cfg.batch_size)
+
+    uncertainty_aware = bool(cfg.probe.get("uncertainty_aware", False))
+    probe = instantiate(cfg.probe, feat_dim=backbone.feat_dim)
+    exp_name, exp_dir, logger, wandb = setup_experiment(
+        cfg, "snorm", backbone, probe.name_tag
+    )
+    logger.info("experiment: %s", exp_name)
+
+    def loss_fn(pred, batch):
+        import jax.numpy as jnp
+
+        target = batch["snorm"]
+        pred = resize(pred, target.shape[1:3], mode="bicubic")
+        mask = jnp.abs(target).sum(axis=-1) > 0
+        return angular_loss(pred, target, mask[..., None],
+                            uncertainty_aware=uncertainty_aware)
+
+    trainer = make_trainer(cfg, backbone, probe, loss_fn, len(train_loader))
+
+    if not cfg.get("is_eval", False):
+        fit(cfg, trainer, train_loader, logger, wandb, exp_dir)
+    else:
+        trainer.init(next(iter(test_loader)))
+        from midvision_probe_tpu.engine.checkpoint import restore_checkpoint
+
+        ckpt = cfg.get("ckpt_path", "") or os.path.join(exp_dir, "ckpt")
+        restored = restore_checkpoint(ckpt, trainer.state)
+        if restored is None:
+            raise FileNotFoundError(f"no checkpoint under {ckpt}")
+        trainer.state, _ = restored
+
+    def metric_fn(pred, batch):
+        target = batch["snorm"]
+        pred_r = resize(pred, target.shape[1:3], mode="bicubic")
+        g, lv = evaluate_surface_norm(
+            pred_r, target, batch.get("segmentation"),
+            is_navi="segmentation" not in batch,
+        )
+        flat = dict(g)
+        for lk, lvv in lv.items():
+            for k, v in lvv.items():
+                flat[f"{lk}_{k}"] = v
+        return flat
+
+    res = trainer.validate(test_loader, metric_fn)
+    logger.info(
+        "snorm d1 %.4f d2 %.4f d3 %.4f rmse %.2fdeg",
+        res["d1"].mean(), res["d2"].mean(), res["d3"].mean(), res["rmse"].mean(),
+    )
+
+    seg_rows = []
+    for i, batch in enumerate(test_loader):
+        if i >= 2 or "segmentation" not in batch:
+            break
+        pred = trainer.predict(batch)
+        pred_r = resize(pred, batch["snorm"].shape[1:3], mode="bicubic")
+        seg_rows += segment_metrics_snorm(
+            np.asarray(pred_r), batch["snorm"], batch["segmentation"]
+        )
+
+    row = {k: float(np.mean(v)) for k, v in res.items()}
+    csv_path = os.path.join(
+        cfg.get("output_dir", "result"),
+        f"snorm_results_{getattr(train_loader.dataset, 'name', 'dataset')}_final.csv",
+    )
+    emit_csv(cfg, csv_path, exp_name, backbone, row)
+    wandb.log(row)
+    wandb.finish()
+    return row
+
+
+entry = main("snorm_training")(run)
+
+if __name__ == "__main__":
+    entry()
