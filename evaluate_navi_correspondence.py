@@ -1,0 +1,104 @@
+#!/usr/bin/env python
+"""NAVI geometric correspondence evaluation (reference
+``evaluate_navi_correspondence.py``): 3D recall @ {1,2,5} cm, 2D recall @
+{5,25,50} px, rotation-binned 2cm-recall over [0,120]°, appended to
+``navi_correspondence_final.csv``.
+
+TPU redesign (SURVEY §3.3): feature extraction AND matching are batched —
+a vmapped Pallas-kNN kernel per pair batch replaces the per-instance
+faiss loop; the 0.25x xyz downscale is kept for protocol parity but is no
+longer a memory necessity.
+"""
+
+from __future__ import annotations
+
+import os
+from datetime import datetime
+
+import numpy as np
+
+from midvision_probe_tpu.config import instantiate, main
+from midvision_probe_tpu.datasets import build_loader
+from midvision_probe_tpu.evaluators.geometric import navi_batch_errors
+from midvision_probe_tpu.evaluators.spair import make_feature_fn
+from midvision_probe_tpu.utils.logging import CSVWriter, setup_logger
+from midvision_probe_tpu.utils.metrics import compute_binned_performance
+from midvision_probe_tpu.utils.transformations import so3_rotation_angle
+
+
+def run(cfg):
+    import jax.numpy as jnp
+
+    from midvision_probe_tpu.datasets.transforms import resize_nearest
+
+    logger = setup_logger(None, "navi")
+    model = instantiate(cfg.backbone, output="dense",
+                        return_multilayer=cfg.multilayer)
+    feature_fn = make_feature_fn(model)
+    loader = build_loader(cfg.dataset, "test", cfg.get("batch_pairs", 4), 1,
+                          pair_dataset=True)
+
+    err_3d, err_2d, rel_ang = [], [], []
+    use_pallas = None  # auto: pallas on TPU
+    for batch in loader:
+        f0 = feature_fn(jnp.asarray(batch["image_0"]))
+        f1 = feature_fn(jnp.asarray(batch["image_1"]))
+        sf = cfg.scale_factor
+        H = batch["xyz_grid_0"].shape[1]
+        hw = (int(H * sf), int(batch["xyz_grid_0"].shape[2] * sf))
+        xyz0 = np.stack([resize_nearest(x, hw) for x in batch["xyz_grid_0"]])
+        xyz1 = np.stack([resize_nearest(x, hw) for x in batch["xyz_grid_1"]])
+
+        e3, e2 = navi_batch_errors(
+            f0, f1, jnp.asarray(xyz0), jnp.asarray(xyz1),
+            jnp.asarray(batch["Rt_01"]), jnp.asarray(batch["intrinsics_1"]),
+            num_corr=cfg.num_corr, scale_factor=sf, use_pallas=use_pallas,
+        )
+        err_3d.append(np.asarray(e3))
+        err_2d.append(np.asarray(e2))
+        rel_ang.append(np.degrees(np.asarray(
+            so3_rotation_angle(jnp.asarray(batch["Rt_01"][:, :3, :3]))
+        )))
+
+    err_3d = np.concatenate(err_3d)
+    err_2d = np.concatenate(err_2d)
+    rel_ang = np.concatenate(rel_ang)
+
+    results = []
+    row = {}
+    for th in [0.01, 0.02, 0.05]:
+        rec = 100 * float((err_3d < th).mean())
+        logger.info("Recall at %.2f m: %.2f", th, rec)
+        results.append(f"{rec:5.02f}")
+        row[f"3D Recall ({th:.2f}m)"] = f"{rec:5.02f}"
+    for th in [5, 25, 50]:
+        rec = 100 * float((err_2d < th).mean())
+        logger.info("Recall at %3dpx: %.2f", th, rec)
+        results.append(f"{rec:5.02f}")
+        row[f"2D Recall ({th}px)"] = f"{rec:5.02f}"
+
+    rec_2cm = (err_3d < 0.02).mean(axis=1)
+    bins = compute_binned_performance(rec_2cm, rel_ang, [0, 30, 60, 90, 120])
+    for i, acc in enumerate(bins):
+        row[f"Bin Rec {i * 30}-{(i + 1) * 30}°"] = f"{acc * 100:5.02f}"
+
+    os.makedirs(cfg.output_dir, exist_ok=True)
+    CSVWriter(os.path.join(cfg.output_dir, "navi_correspondence_final.csv")
+              ).append({
+                  "Time": datetime.now().strftime("%d%m%Y-%H%M"),
+                  "Model Checkpoint": model.checkpoint_name,
+                  "Patch Size": model.patch_size,
+                  "Layer": str(model.layer),
+                  "Output": model.output,
+                  "Num Correspondences": cfg.num_corr,
+                  "Scale Factor": cfg.scale_factor,
+                  "Dataset": getattr(loader.dataset, "name", "navi"),
+                  **row,
+              })
+    return {"err_3d": err_3d, "err_2d": err_2d, "row": row}
+
+
+entry = main("navi_correspondence")(run)
+
+if __name__ == "__main__":
+    entry()

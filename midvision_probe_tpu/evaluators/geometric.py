@@ -1,0 +1,75 @@
+"""Geometric correspondence evaluation cores (NAVI + ScanNet), batched/jitted.
+
+Reference: ``evaluate_navi_correspondence.py:143-223`` and
+``render_scannet_correspondence.py:188-268``. The per-instance Python loop
+becomes a vmapped jit over pair batches; the faiss matching is the Pallas
+kNN inside ``utils.correspondence``.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from midvision_probe_tpu.utils.correspondence import (
+    estimate_correspondence_depth,
+    estimate_correspondence_xyz,
+    project_3dto2d,
+)
+from midvision_probe_tpu.utils.transformations import transform_points_Rt
+
+
+@functools.partial(jax.jit, static_argnames=("num_corr", "use_pallas"))
+def navi_batch_errors(
+    feats_0, feats_1, xyz_0, xyz_1, Rt_01, intrinsics,
+    num_corr: int = 500, scale_factor: float = 1.0, use_pallas: bool | None = False,
+):
+    """Batched NAVI pair errors.
+
+    Args:
+        feats_0/1: (B, h, w, C); xyz_0/1: (B, H, W, 3); Rt_01: (B, 4, 4)
+        camera-0 → camera-1 transforms; intrinsics: (B, 3, 3).
+
+    Returns (err_3d (B, N), err_2d (B, N)) in meters / *xyz-grid* pixels
+    (the driver rescales uv errors by 1/scale_factor like the reference).
+    """
+
+    def one(f0, f1, x0, x1, Rt, K):
+        c_xyz0, c_xyz1, w, c_uv0, c_uv1 = estimate_correspondence_xyz(
+            f0, f1, x0, x1, num_corr, use_pallas=use_pallas
+        )
+        c_xyz0in1 = transform_points_Rt(c_xyz0, Rt[:3, :4])
+        err3d = jnp.linalg.norm(c_xyz0in1 - c_xyz1, axis=-1)
+        uv1 = project_3dto2d(c_xyz1, K)
+        uv0in1 = project_3dto2d(c_xyz0in1, K)
+        err2d = jnp.linalg.norm(uv0in1 - uv1, axis=-1) / scale_factor
+        return err3d, err2d
+
+    return jax.vmap(one)(feats_0, feats_1, xyz_0, xyz_1, Rt_01, intrinsics)
+
+
+@functools.partial(jax.jit, static_argnames=("num_corr", "use_pallas"))
+def scannet_batch_errors(
+    feats_0, feats_1, depth_0, depth_1, K, Rt_01,
+    num_corr: int = 500, use_pallas: bool | None = False,
+):
+    """Batched ScanNet pair errors (depth-unprojection variant,
+    ``render_scannet_correspondence.py:188-230``).
+
+    depth_0/1: (B, H, W); K: (B, 3, 3); Rt_01: (B, 4, 4).
+    Returns (err_3d (B, N), err_2d (B, N))."""
+
+    def one(f0, f1, d0, d1, Ki, Rt):
+        c_xyz0, c_xyz1, w = estimate_correspondence_depth(
+            f0, f1, d0, d1, Ki, num_corr, use_pallas=use_pallas
+        )
+        c_xyz0in1 = transform_points_Rt(c_xyz0, Rt[:3, :4])
+        err3d = jnp.linalg.norm(c_xyz0in1 - c_xyz1, axis=-1)
+        uv1 = project_3dto2d(c_xyz1, Ki)
+        uv0in1 = project_3dto2d(c_xyz0in1, Ki)
+        err2d = jnp.linalg.norm(uv0in1 - uv1, axis=-1)
+        return err3d, err2d
+
+    return jax.vmap(one)(feats_0, feats_1, depth_0, depth_1, K, Rt_01)

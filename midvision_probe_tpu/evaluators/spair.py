@@ -1,0 +1,81 @@
+"""SPair-71k PCK evaluation core (reference
+``evaluate_spair_correspondence.py:45-123``), batched + jitted.
+
+Per pair: sample source-keypoint features (grid_sample, align_corners=True),
+correlate against the dense target map, take the 2D argmax as the predicted
+keypoint, and measure normalized error against all target keypoints
+(``:76-98``). Invalid keypoints get error 1e3 so they never win the NN
+search — the same trick the reference uses, which also makes the padded
+keypoint slots free.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from midvision_probe_tpu.ops.image import grid_sample
+from midvision_probe_tpu.utils.correspondence import argmax_2d
+
+
+def pair_errors(feats_i, feats_j, kps_i, kps_j, thresh_scale, image_size):
+    """Single pair; vmapped by ``batch_errors``.
+
+    Args:
+        feats_i/feats_j: (h, w, C) L2-normalized dense features.
+        kps_i/kps_j: (K, 3) padded keypoints in *pixel* coords + valid flag.
+        thresh_scale: PCK normalization scale.
+
+    Returns (error_same (K,), error_nn (K,), in_both (K,), index_nn (K,)).
+    """
+    K = kps_i.shape[0]
+    kps_i_n = kps_i.at[:, :2].set(kps_i[:, :2] / image_size)
+    kps_j_n = kps_j.at[:, :2].set(kps_j[:, :2] / image_size)
+
+    ndc = kps_i_n[:, :2] * 2.0 - 1.0  # (K, 2) in (x, y)
+    kp_f = grid_sample(feats_i[None], ndc[None, None], align_corners=True)
+    kp_f = kp_f[0, 0]  # (K, C)
+
+    heat = jnp.einsum("kc,hwc->khw", kp_f, feats_j,
+                      preferred_element_type=jnp.float32)
+    w_feat = feats_j.shape[1]
+    pred_kp = argmax_2d(heat).astype(jnp.float32) / w_feat  # (K, 2) in [0,1]
+
+    errors = jnp.linalg.norm(
+        pred_kp[:, None, :] - kps_j_n[None, :, :2], axis=-1
+    ) / thresh_scale
+
+    valid = (kps_i_n[:, None, 2] * kps_j_n[None, :, 2]) == 1
+    in_both = jnp.diagonal(valid)
+    errors = jnp.where(valid, errors, 1e3)
+
+    error_same = jnp.diagonal(errors)
+    error_nn = errors.min(axis=1)
+    index_nn = errors.argmin(axis=1)
+    return error_same, error_nn, in_both, index_nn
+
+
+@functools.partial(jax.jit, static_argnames=("image_size",))
+def batch_errors(feats_i, feats_j, kps_i, kps_j, thresh_scale, image_size):
+    """(B, h, w, C) feature batches → per-pair error pytrees."""
+    return jax.vmap(
+        functools.partial(pair_errors, image_size=image_size)
+    )(feats_i, feats_j, kps_i, kps_j, thresh_scale)
+
+
+def make_feature_fn(backbone):
+    """Jitted: images (B, S, S, 3) → L2-normalized concat-multilayer dense
+    features (B, h, w, C) (``evaluate_spair_correspondence.py:55-59``)."""
+
+    @jax.jit
+    def fn(images):
+        maps, _ = backbone._apply_fn(backbone.variables, images)
+        feats = jnp.concatenate(maps, axis=-1) if len(maps) > 1 else maps[0]
+        feats = feats.astype(jnp.float32)
+        return feats / jnp.clip(
+            jnp.linalg.norm(feats, axis=-1, keepdims=True), 1e-12, None
+        )
+
+    return fn

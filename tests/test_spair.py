@@ -1,0 +1,114 @@
+"""SPair dataset + evaluator tests on a generated miniature SPair-71k tree."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def spair_root(tmp_path_factory):
+    """Miniature SPair-71k directory in the reference layout."""
+    from PIL import Image
+
+    root = tmp_path_factory.mktemp("spair")
+    rng = np.random.RandomState(0)
+    cls = "cat"
+    class_id = 8
+    os.makedirs(root / "JPEGImages" / cls)
+    os.makedirs(root / "Segmentation" / cls)
+    os.makedirs(root / "ImageAnnotation" / cls)
+    os.makedirs(root / "PairAnnotation" / "test")
+
+    views = ["v0", "v1"]
+    kps = {"v0": {"0": [10, 12], "1": [30, 20], "2": None},
+           "v1": {"0": [14, 16], "1": [28, 24], "2": None}}
+    for v in views:
+        img = (rng.rand(48, 64, 3) * 255).astype(np.uint8)
+        Image.fromarray(img).save(root / "JPEGImages" / cls / f"{v}.jpg")
+        seg = np.zeros((48, 64), np.uint8)
+        seg[8:40, 8:48] = class_id
+        Image.fromarray(seg).save(root / "Segmentation" / cls / f"{v}.png")
+        json.dump(
+            {"filename": f"{v}.jpg", "kps": kps[v]},
+            open(root / "ImageAnnotation" / cls / f"{v}.json", "w"),
+        )
+
+    pair = {
+        "filename": f"pair-v0-v1:{cls}",
+        "category": cls,
+        "viewpoint_variation": 0,
+        "src_bndbox": [8, 8, 48, 40],
+        "trg_bndbox": [8, 8, 48, 40],
+        "trg_imsize": [64, 48],
+    }
+    json.dump(pair, open(root / "PairAnnotation" / "test" / "p0.json", "w"))
+    return str(root)
+
+
+def test_spair_dataset_item(spair_root):
+    from midvision_probe_tpu.datasets.spair import SPairDataset
+
+    ds = SPairDataset(spair_root, "test", image_size=64, use_bbox=False)
+    assert len(ds) == 1
+    it = ds[0]
+    assert it["img_i"].shape == (64, 64, 3)
+    assert it["kps_i"].shape == (30, 3)
+    assert it["kps_i"][:, 2].sum() == 2  # two valid keypoints
+    # thresh_scale = max_bbox / max_imdim = 40/64
+    np.testing.assert_allclose(it["thresh_scale"], 40 / 64, atol=1e-6)
+    # kps scaled from padded-square (64) coords to image_size
+    np.testing.assert_allclose(it["kps_i"][0, :2], [10, 12], atol=1e-5)
+
+
+def test_spair_evaluator_identical_images(spair_root):
+    """Matching an image against itself: every valid keypoint lands on (or
+    within a patch of) itself → recall 100 at generous threshold."""
+    from midvision_probe_tpu.config import compose
+    from midvision_probe_tpu.datasets.spair import SPairDataset
+    import evaluate_spair_correspondence as drv
+    from midvision_probe_tpu.evaluators.spair import make_feature_fn
+    from midvision_probe_tpu.models import zoo
+
+    model = zoo.build_vit_extractor("test_tiny_vit", output="dense",
+                                    return_multilayer=False, init_size=64)
+    ds = SPairDataset(spair_root, "test", image_size=64, use_bbox=False)
+
+    # make the pair identical so correspondence is exact
+    item = ds[0]
+
+    class _SelfPair:
+        def __len__(self):
+            return 1
+
+        def __getitem__(self, i):
+            it = dict(item)
+            it["img_j"] = it["img_i"]
+            it["kps_j"] = it["kps_i"]
+            return it
+
+    import jax.numpy as jnp
+
+    from midvision_probe_tpu.evaluators.spair import batch_errors
+
+    fn = make_feature_fn(model)
+    it = _SelfPair()[0]
+    feats = fn(jnp.asarray(np.stack([it["img_i"], it["img_j"]])))
+    err_same, err_nn, in_both, idx_nn = batch_errors(
+        feats[:1], feats[1:],
+        jnp.asarray(it["kps_i"][None]), jnp.asarray(it["kps_j"][None]),
+        jnp.asarray(np.float32([it["thresh_scale"]])), 64,
+    )
+    sel = np.asarray(in_both[0]).astype(bool)
+    errs = np.asarray(err_same[0])[sel]
+    # argmax resolution is one patch (8px/64px): worst-case quantization
+    # error is sqrt(2)/8 / thresh_scale ≈ 0.28
+    assert (errs <= 0.30).all(), errs
+    # NN index of each valid keypoint is itself
+    assert (np.asarray(idx_nn[0])[sel] == np.where(sel)[0]).all()
+
+    # driver aggregation path also runs
+    recall, confusion = drv.evaluate_dataset(fn, _SelfPair(), batch_pairs=1,
+                                             image_size=64)
+    assert confusion.sum() == 2
