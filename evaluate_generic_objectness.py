@@ -1,0 +1,106 @@
+#!/usr/bin/env python
+"""Training-free object discovery via MaskCut (reference
+``evaluate_generic_objectness.py``): per-image spectral bipartition of
+frozen patch features + DenseCRF refinement, scored with
+F-measure/IoU/Accuracy/CorLoc running averages and a final CSV summary.
+
+Per-image failures are caught and logged, keeping the running averages
+(reference ``:195-260``).
+"""
+
+from __future__ import annotations
+
+import os
+from datetime import datetime
+
+import numpy as np
+
+from midvision_probe_tpu.config import instantiate, main
+from midvision_probe_tpu.models.maskcut import MaskCutProcessor
+from midvision_probe_tpu.utils.logging import CSVWriter, setup_logger
+from midvision_probe_tpu.utils.objectness import (
+    compute_accuracy,
+    compute_corloc,
+    compute_f_measure,
+    compute_iou,
+    compute_precision_recall,
+)
+
+
+def predict(processor, dataset, logger, max_images=-1):
+    """``evaluate_generic_objectness.py:180-279``."""
+    avg = {"F-measure": 0.0, "IoU": 0.0, "Accuracy": 0.0, "CorLoc": 0.0}
+    n_ok = 0
+    errors = []
+    n = len(dataset) if max_images in (-1, None) else min(max_images,
+                                                          len(dataset))
+    for i in range(n):
+        try:
+            item = dataset[i]
+            raw = (item["raw_image"] * 255).astype(np.uint8)
+            gt = item["mask"][..., 0]
+            num_objects = int(item.get("num_objects", 1))
+            _, _, combined = processor.process_image(raw, num_objects)
+            combined = combined.astype(np.float32)
+            if combined.shape != gt.shape:
+                from midvision_probe_tpu.datasets.transforms import (
+                    resize_nearest,
+                )
+
+                combined = resize_nearest(combined[..., None],
+                                          gt.shape)[..., 0]
+            pb = (combined >= 0.5).astype(np.uint8)
+            gb = (gt >= 0.5).astype(np.uint8)
+            p, r = compute_precision_recall(pb, gb)
+            avg["F-measure"] += compute_f_measure(p, r)
+            avg["IoU"] += compute_iou(combined, gb)
+            avg["Accuracy"] += compute_accuracy(combined, gb)
+            avg["CorLoc"] += compute_corloc(combined, gb)
+            n_ok += 1
+        except Exception as e:  # noqa: BLE001 — reference swallows per-image
+            errors.append(f"image {i}: {e}")
+            logger.warning("image %d failed: %s", i, e)
+    if n_ok:
+        avg = {k: v / n_ok for k, v in avg.items()}
+    return avg, n_ok, errors
+
+
+def run(cfg, dataset=None):
+    logger = setup_logger(None, "maskcut")
+    model = instantiate(cfg.backbone, output="dense")
+    if dataset is None:
+        from midvision_probe_tpu.datasets import build_loader
+
+        dataset = build_loader(cfg.dataset, "trainval", 1).dataset
+    processor = MaskCutProcessor(
+        backbone=model,
+        patch_size=model.patch_size or 16,
+        tau=cfg.get_path("maskcut.tau", 0.15),
+        fixed_size=cfg.get_path("maskcut.fixed_size", 480),
+    )
+    metrics, n_ok, errors = predict(processor, dataset, logger,
+                                    cfg.get("max_images", -1))
+    logger.info("MaskCut (%d imgs): F %.4f IoU %.4f Acc %.4f CorLoc %.4f",
+                n_ok, metrics["F-measure"], metrics["IoU"],
+                metrics["Accuracy"], metrics["CorLoc"])
+
+    os.makedirs(cfg.output_dir, exist_ok=True)
+    CSVWriter(os.path.join(
+        cfg.output_dir,
+        f"final_results_summary_{getattr(dataset, 'name', 'voc')}.csv",
+    )).append({
+        "Time": datetime.now().strftime("%d%m%Y-%H%M"),
+        "Model Checkpoint": model.checkpoint_name,
+        "Layer": str(model.layer),
+        "Output": model.output,
+        "Num Images": n_ok,
+        "Num Errors": len(errors),
+        **{k: f"{v:.4f}" for k, v in metrics.items()},
+    })
+    return metrics
+
+
+entry = main("objectness_eval")(run)
+
+if __name__ == "__main__":
+    entry()

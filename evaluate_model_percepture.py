@@ -1,0 +1,103 @@
+#!/usr/bin/env python
+"""2AFC perceptual-similarity evaluation (reference
+``evaluate_model_percepture.py``): choose whichever of (left, right) is
+closer to the reference image in cosine feature similarity (ViT: cls token;
+CNN: global-average-pooled last stage, ``:105-120``), score against the
+human vote with accuracy/F1/precision/recall.
+
+The triplet forward is one jitted call over stacked (3B) images.
+"""
+
+from __future__ import annotations
+
+import os
+from datetime import datetime
+
+import numpy as np
+
+from midvision_probe_tpu.config import instantiate, main
+from midvision_probe_tpu.datasets import build_loader
+from midvision_probe_tpu.utils.logging import CSVWriter, setup_logger
+
+
+def compute_metrics(gt, pred):
+    """sklearn-equivalent binary metrics (``:51-64``)."""
+    gt = np.asarray(gt).astype(int)
+    pred = np.asarray(pred).astype(int)
+    tp = int(((pred == 1) & (gt == 1)).sum())
+    fp = int(((pred == 1) & (gt == 0)).sum())
+    fn = int(((pred == 0) & (gt == 1)).sum())
+    accuracy = float((pred == gt).mean()) if len(gt) else 0.0
+    precision = tp / (tp + fp) if (tp + fp) else 0.0
+    recall = tp / (tp + fn) if (tp + fn) else 0.0
+    f1 = (2 * precision * recall / (precision + recall)
+          if (precision + recall) else 0.0)
+    return {"accuracy": accuracy, "f1_score": f1, "precision": precision,
+            "recall": recall}
+
+
+def run(cfg, dataset=None):
+    import jax
+    import jax.numpy as jnp
+
+    logger = setup_logger(None, "percepture")
+    model = instantiate(cfg.backbone, return_cls=True)
+    is_vit = model.arch == "vit"
+
+    @jax.jit
+    def embed(images):
+        maps, cls_tokens = model._apply_fn(model.variables, images)
+        if is_vit and cls_tokens is not None and cls_tokens[-1] is not None:
+            return cls_tokens[-1].astype(jnp.float32)
+        # CNN: GAP over the last dense map (:112-114)
+        return maps[-1].mean(axis=(1, 2)).astype(jnp.float32)
+
+    if dataset is not None:
+        from midvision_probe_tpu.datasets.builder import Loader
+
+        loader = Loader(dataset, cfg.batch_size)
+    else:
+        loader = build_loader(cfg.dataset, cfg.get("split", "test"),
+                              cfg.batch_size)
+
+    gts, preds = [], []
+    for batch in loader:
+        imgs = np.concatenate(
+            [batch["img_ref"], batch["img_left"], batch["img_right"]], axis=0
+        )
+        feats = embed(jnp.asarray(imgs))
+        b = batch["img_ref"].shape[0]
+        ref, left, right = feats[:b], feats[b:2 * b], feats[2 * b:]
+
+        def cos(a, c):
+            num = jnp.sum(a * c, axis=-1)
+            den = jnp.linalg.norm(a, axis=-1) * jnp.linalg.norm(c, axis=-1)
+            return num / jnp.clip(den, 1e-8, None)
+
+        sim_l = cos(ref, left)
+        sim_r = cos(ref, right)
+        pred = np.where(np.asarray(sim_l) > np.asarray(sim_r), 0, 1)
+        gts.extend(batch["p"].tolist())
+        preds.extend(pred.tolist())
+
+    metrics = compute_metrics(gts, preds)
+    logger.info("2AFC acc %.4f f1 %.4f p %.4f r %.4f", metrics["accuracy"],
+                metrics["f1_score"], metrics["precision"], metrics["recall"])
+
+    os.makedirs(cfg.output_dir, exist_ok=True)
+    CSVWriter(os.path.join(cfg.output_dir, "final_results_summary.csv")
+              ).append({
+                  "Time": datetime.now().strftime("%d%m%Y-%H%M"),
+                  "Model Checkpoint": model.checkpoint_name,
+                  "Layer": str(model.layer),
+                  "Output": model.output,
+                  "Dataset": getattr(loader.dataset, "name", "nights_2afc"),
+                  **{k: f"{v:.4f}" for k, v in metrics.items()},
+              })
+    return metrics
+
+
+entry = main("model_percepture")(run)
+
+if __name__ == "__main__":
+    entry()

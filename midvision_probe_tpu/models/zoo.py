@@ -289,6 +289,11 @@ def build_vit_extractor(
 ) -> FeatureExtractor:
     entry = ZOO[name]
     cfg = ViTConfig(dtype=dtype, **entry.vit)
+    if cfg.pos_embed == "learned" and cfg.table_grid is None:
+        # pin the canonical pos-embed grid to the init resolution so inputs
+        # of any other size resize the table instead of re-shaping the param
+        g = (init_size or entry.default_size) // cfg.patch_size
+        cfg = dataclasses.replace(cfg, table_grid=(g, g))
 
     multilayers = default_vit_multilayers(cfg.depth)
     if not return_multilayer:
