@@ -102,9 +102,11 @@ def densecrf(image: np.ndarray, mask: np.ndarray) -> np.ndarray:
 
     lib = _load_native()
     if lib is not None:
-        out = np.zeros_like(probs, dtype=np.float32)
+        # C-order buffers: the native side reads/writes row-major (zeros_like
+        # would inherit the transposed resize view's strides)
+        out = np.zeros(probs.shape, dtype=np.float32, order="C")
         img_c = np.ascontiguousarray(image)
-        probs_c = np.ascontiguousarray(probs.astype(np.float32))
+        probs_c = np.ascontiguousarray(probs, dtype=np.float32)
         ret = lib.dense_crf_inference(
             img_c.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
             probs_c.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
