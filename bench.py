@@ -47,7 +47,7 @@ def main() -> None:
         # axon platform's async dispatch queue)
         return maps, jnp.sum(maps[-1][0, 0, 0])
 
-    batch = 32
+    batch = 64
     rng = np.random.RandomState(0)
     images = jnp.asarray(rng.randn(batch, 480, 640, 3).astype(np.float32))
 

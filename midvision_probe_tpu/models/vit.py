@@ -51,6 +51,8 @@ class ViTConfig:
     table_grid: tuple[int, int] | None = None
     layernorm_eps: float = 1e-6
     qkv_bias: bool = True
+    patch_bias: bool = True  # CLIP's conv1 has no bias
+    act: str = "gelu"  # gelu (erf) | quickgelu (openai CLIP)
     layerscale: bool = False
     rel_pos_bias: bool = False  # BEiT-style per-block relative position bias
     rope: bool = False  # CroCo-style 2D RoPE on q/k (no abs pos embed)
@@ -125,7 +127,10 @@ class Mlp(nn.Module):
         c = self.cfg
         hidden = int(c.width * c.mlp_ratio)
         x = nn.Dense(hidden, dtype=c.dtype, name="fc1")(x)
-        x = nn.gelu(x, approximate=False)
+        if c.act == "quickgelu":  # openai CLIP: x * sigmoid(1.702 x)
+            x = x * nn.sigmoid(1.702 * x)
+        else:
+            x = nn.gelu(x, approximate=False)
         x = nn.Dense(c.width, dtype=c.dtype, name="fc2")(x)
         return x
 
@@ -175,10 +180,7 @@ class Attention(nn.Module):
             k = jnp.concatenate([k[:, :, :p], k_pat], axis=2)
 
         scale = c.head_dim**-0.5
-        attn = jnp.einsum(
-            "bhqd,bhkd->bhqk", q * scale, k, preferred_element_type=jnp.float32
-        )
-
+        bias = None
         if c.rel_pos_bias and grid_hw is not None:
             h, w = grid_hw
             num_rel = (2 * h - 1) * (2 * w - 1) + 3
@@ -189,11 +191,11 @@ class Attention(nn.Module):
                 jnp.float32,
             )
             idx = jnp.asarray(_rel_pos_index((h, w)))
-            bias = table[idx]  # (N, N, H)
-            attn = attn + jnp.transpose(bias, (2, 0, 1))[None].astype(attn.dtype)
+            bias = jnp.transpose(table[idx], (2, 0, 1))[None]  # (1, H, N, N)
 
-        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(c.dtype)
-        out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+        from midvision_probe_tpu.ops.attention import multi_head_attention
+
+        out = multi_head_attention(q, k, v, bias=bias, scale=scale)
         out = jnp.transpose(out, (0, 2, 1, 3)).reshape(B, N, C)
         out = nn.Dense(C, dtype=c.dtype, name="proj")(out)
         return out
@@ -250,6 +252,7 @@ class ViT(nn.Module):
             (c.patch_size, c.patch_size),
             strides=(c.patch_size, c.patch_size),
             padding="VALID",
+            use_bias=c.patch_bias,
             dtype=c.dtype,
             name="patch_embed",
         )(images.astype(c.dtype))
