@@ -99,4 +99,16 @@ def unwrap_checkpoint(ckpt: Any, source: str) -> dict:
         return prepare_state_dict(
             sd, remove_prefix="backbone.", rename=MMSELFSUP_VIT_RENAME
         )
+    if source == "croco":
+        # NAVER CroCo ckpt: {'model': {enc_blocks.N..., patch_embed.proj,
+        # enc_norm, dec_*...}} — keep the encoder in timm naming
+        sd = ckpt.get("model", ckpt.get("state_dict", ckpt))
+        return prepare_state_dict(
+            sd,
+            delete_prefixes=("dec_", "decoder_embed", "prediction_head",
+                             "mask_token", "head."),
+            rename={"enc_blocks.": "blocks.", "enc_norm.": "norm."},
+        )
+    if source == "openclip":
+        return dict(ckpt.get("state_dict", ckpt))
     raise ValueError(f"unknown checkpoint source {source!r}")

@@ -179,6 +179,75 @@ register(ZooEntry(
              layerscale=True),
 ))
 
+# --- CLIP / SigLIP (reference clip.py, siglip.py) ------------------------
+register(ZooEntry(
+    "clip_vitb16", "vit", "openclip", "clip_vitb16_openai.pt",
+    url="open_clip ViT-B-16 openai",
+    vit=_vit("vit_base", 16, 14, pre_norm=True, patch_bias=False,
+             act="quickgelu", layernorm_eps=1e-5),
+    converter="openclip",
+    image_mean=OPENAI_CLIP_MEAN, image_std=OPENAI_CLIP_STD,
+))
+register(ZooEntry(
+    "clip_vitb16_laion", "vit", "openclip", "clip_vitb16_laion2b.pt",
+    url="open_clip ViT-B-16 laion2b_s34b_b88k",
+    vit=_vit("vit_base", 16, 14, pre_norm=True, patch_bias=False,
+             layernorm_eps=1e-5),
+    converter="openclip",
+    image_mean=OPENAI_CLIP_MEAN, image_std=OPENAI_CLIP_STD,
+))
+register(ZooEntry(
+    "clip_vitl14", "vit", "openclip", "clip_vitl14_openai.pt",
+    url="open_clip ViT-L-14 openai",
+    vit=_vit("vit_large", 14, 16, pre_norm=True, patch_bias=False,
+             act="quickgelu", layernorm_eps=1e-5),
+    converter="openclip",
+    image_mean=OPENAI_CLIP_MEAN, image_std=OPENAI_CLIP_STD,
+))
+register(ZooEntry(
+    "siglip_vitb16", "vit", "raw", "siglip_vitb16_384.bin",
+    url="timm vit_base_patch16_siglip_384",
+    vit=_vit("vit_base", 16, 24, class_token=False, pos_embed_cls=False),
+    default_size=384,
+    image_mean=(0.5, 0.5, 0.5), image_std=(0.5, 0.5, 0.5),
+))
+register(ZooEntry(
+    "siglip_vitl16", "vit", "raw", "siglip_vitl16_384.bin",
+    url="timm vit_large_patch16_siglip_384",
+    vit=_vit("vit_large", 16, 24, class_token=False, pos_embed_cls=False),
+    default_size=384,
+    image_mean=(0.5, 0.5, 0.5), image_std=(0.5, 0.5, 0.5),
+))
+
+# --- CroCo v1/v2 (reference croco.py / crocov2.py; v2 is the only consumer
+#     of the cuRoPE2D kernel -> ops.rope2d here) ---------------------------
+register(ZooEntry(
+    "croco_vitb16", "vit", "croco", "CroCo.pth",
+    url="naver CroCo v1 (croco.py:9-14)",
+    vit=_vit("vit_base", 16, pos_embed="sincos2d", class_token=False),
+))
+register(ZooEntry(
+    "crocov2_vitb16", "vit", "croco", "CroCo_V2_ViTBase_BaseDecoder.pth",
+    url="naver CroCo v2 (crocov2.py:10-15)",
+    vit=_vit("vit_base", 16, pos_embed="none", class_token=False, rope=True),
+))
+
+# --- ConvNeXt family (reference convnext.py) ------------------------------
+register(ZooEntry(
+    "cnxt_b_in22k", "convnext", "raw", "convnext_base_in22k.pth",
+    url="timm convnext_base_in22k",
+))
+register(ZooEntry(
+    "cnxt_b_fcmae", "convnext", "raw", "convnextv2_base_fcmae.pth",
+    url="timm convnextv2_base.fcmae_ft_in22k_in1k_384",
+))
+register(ZooEntry(
+    "cnxt_b_w_laion2b", "convnext", "openclip", "convnext_base_w_laion2b.pt",
+    url="open_clip convnext_base_w laion2b_s13b_b82k",
+    prefix="visual.trunk.",
+    image_mean=OPENAI_CLIP_MEAN, image_std=OPENAI_CLIP_STD,
+))
+
 
 # --- ResNet-50 SSL zoo (17 wrappers, template simclr.py:29-115) -----------
 _R50 = [
@@ -244,7 +313,7 @@ def _load_torch_file(path: str):
     return torch.load(path, map_location="cpu", weights_only=False)
 
 
-def load_variables(entry: ZooEntry, cfg: ViTConfig | None) -> dict | None:
+def load_variables(entry: ZooEntry, cfg) -> dict | None:
     """Resolve + convert weights; None if no checkpoint is on disk."""
     path = os.path.join(checkpoint_dir(), entry.filename)
     if not os.path.exists(path):
@@ -253,8 +322,20 @@ def load_variables(entry: ZooEntry, cfg: ViTConfig | None) -> dict | None:
     sd = unwrap_checkpoint(ckpt, entry.source)
     if entry.arch == "resnet":
         return convert_resnet50(sd, prefix=entry.prefix)
+    if entry.arch == "convnext":
+        from midvision_probe_tpu.models.convert.convnext_convert import (
+            convert_convnext,
+        )
+
+        return convert_convnext(sd, cfg, prefix=entry.prefix)
     if entry.converter == "hf":
         return convert_vit_hf(sd, cfg, prefix=entry.prefix)
+    if entry.converter == "openclip":
+        from midvision_probe_tpu.models.convert.clip_convert import (
+            convert_vit_openclip,
+        )
+
+        return convert_vit_openclip(sd, cfg, prefix=entry.prefix or "visual.")
     return convert_vit_timm(sd, cfg, prefix=entry.prefix)
 
 
@@ -474,6 +555,121 @@ def _resnet_wrapper(zoo_name: str):
         )
 
     return ctor
+
+
+def build_convnext_extractor(
+    name: str,
+    output: str = "dense",
+    layer: int = -1,
+    return_multilayer: bool = False,
+    add_norm: bool = False,
+    return_cls: bool = False,
+    dtype: Any = jnp.float32,
+    use_grn: bool | None = None,
+    checkpoint_name: str | None = None,
+) -> FeatureExtractor:
+    """ConvNeXt stage taps; ``dense`` output resizes every stage map to the
+    /16 grid like the reference (``convnext.py:99-105``)."""
+    from midvision_probe_tpu.models.convnext import ConvNeXt, ConvNeXtConfig
+    from midvision_probe_tpu.ops.image import resize as _resize
+
+    entry = ZOO[name]
+    grn = use_grn if use_grn is not None else ("fcmae" in name)
+    cfg = ConvNeXtConfig(use_grn=grn, dtype=dtype)
+    feat_dims = list(cfg.dims)
+    multilayers = [0, 1, 2, 3]
+    if not return_multilayer:
+        multilayers = [multilayers[-1] if layer == -1 else layer]
+
+    spec = FeatureSpec(
+        feat_dim=[feat_dims[i] for i in multilayers] if return_multilayer
+        else feat_dims[multilayers[-1]],
+        patch_size=16,
+        multilayers=tuple(multilayers),
+        arch="convnext",
+        checkpoint_name=name,
+        output=output,
+        num_layers=4,
+        add_norm=add_norm,
+        image_mean=entry.image_mean,
+        image_std=entry.image_std,
+    )
+    module = ConvNeXt(cfg)
+    variables = load_variables(entry, cfg)
+    if variables is None:
+        log.warning("no checkpoint for %s under %s — random init", name,
+                    checkpoint_dir())
+        variables = _random_init(module, 64, {"taps": tuple(multilayers)})
+
+    def apply_fn(vs, images):
+        maps = module.apply(vs, images, taps=tuple(multilayers))
+        out_hw = (images.shape[1] // 16, images.shape[2] // 16)
+        if output == "dense":
+            maps = [_resize(m.astype(jnp.float32), out_hw, mode="bilinear")
+                    for m in maps]
+        else:  # gap
+            maps = [m.mean(axis=(1, 2)) for m in maps]
+        return maps, None
+
+    return FeatureExtractor(
+        apply_fn, variables, spec,
+        return_multilayer=return_multilayer, return_cls=return_cls,
+    )
+
+
+def CLIP(arch="ViT-B-16", checkpoint="openai", output="dense", layer=-1,
+         return_multilayer=False, add_norm=False, return_cls=False, **kw):
+    """reference ``clip.py:27-101`` (open_clip visual towers)."""
+    name = {
+        ("ViT-B-16", "openai"): "clip_vitb16",
+        ("ViT-B-16", "laion2b_s34b_b88k"): "clip_vitb16_laion",
+        ("ViT-L-14", "openai"): "clip_vitl14",
+    }.get((arch, checkpoint), "clip_vitb16")
+    return build_vit_extractor(
+        name, output=output, layer=layer, return_multilayer=return_multilayer,
+        add_norm=add_norm, return_cls=return_cls, **_clean(kw),
+    )
+
+
+def SigLIP(checkpoint="vit_base_patch16_siglip_384", output="dense", layer=-1,
+           return_multilayer=False, add_norm=False, return_cls=False, **kw):
+    name = "siglip_vitl16" if "large" in checkpoint else "siglip_vitb16"
+    return build_vit_extractor(
+        name, output=output, layer=layer, return_multilayer=return_multilayer,
+        add_norm=add_norm, return_cls=return_cls, **_clean(kw),
+    )
+
+
+def CROCO(model_name="vitb16", output="dense", layer=-1,
+          return_multilayer=False, add_norm=False, return_cls=False, **kw):
+    return build_vit_extractor(
+        "croco_vitb16", output=output, layer=layer,
+        return_multilayer=return_multilayer, add_norm=add_norm,
+        return_cls=return_cls, **_clean(kw),
+    )
+
+
+def CROCOV2(model_name="vitb16", output="dense", layer=-1,
+            return_multilayer=False, add_norm=False, return_cls=False, **kw):
+    return build_vit_extractor(
+        "crocov2_vitb16", output=output, layer=layer,
+        return_multilayer=return_multilayer, add_norm=add_norm,
+        return_cls=return_cls, **_clean(kw),
+    )
+
+
+def ConvNext(arch="convnext_base", checkpoint="in22k", output="dense",
+             layer=-1, return_multilayer=False, add_norm=False, **kw):
+    name = {
+        "in22k": "cnxt_b_in22k",
+        "fcmae_ft_in22k_in1k_384": "cnxt_b_fcmae",
+    }.get(checkpoint, "cnxt_b_w_laion2b" if "laion" in str(checkpoint)
+          else "cnxt_b_in22k")
+    kw.pop("return_cls", None)
+    return build_convnext_extractor(
+        name, output=output, layer=layer, return_multilayer=return_multilayer,
+        add_norm=add_norm, **_clean(kw),
+    )
 
 
 SIMCLR = _resnet_wrapper("simclr_resnet50")
