@@ -232,6 +232,16 @@ register(ZooEntry(
     vit=_vit("vit_base", 16, pos_embed="none", class_token=False, rope=True),
 ))
 
+# --- SAM image encoders (reference sam.py; windowed-attention ViTDet) -----
+for _arch, _file in [("vit_b", "sam_vit_b_01ec64.pth"),
+                     ("vit_l", "sam_vit_l_0b3195.pth"),
+                     ("vit_h", "sam_vit_h_4b8939.pth")]:
+    register(ZooEntry(
+        f"sam_{_arch}", "sam", "raw", _file,
+        url=f"dl.fbaipublicfiles.com/segment_anything/{_file}",
+        default_size=1024,
+    ))
+
 # --- ConvNeXt family (reference convnext.py) ------------------------------
 register(ZooEntry(
     "cnxt_b_in22k", "convnext", "raw", "convnext_base_in22k.pth",
@@ -614,6 +624,80 @@ def build_convnext_extractor(
     return FeatureExtractor(
         apply_fn, variables, spec,
         return_multilayer=return_multilayer, return_cls=return_cls,
+    )
+
+
+def build_sam_extractor(
+    name: str,
+    output: str = "dense",
+    layer: int = -1,
+    return_multilayer: bool = False,
+    add_norm: bool = False,
+    return_cls: bool = False,
+    dtype: Any = jnp.float32,
+    init_size: int | None = None,
+    checkpoint_name: str | None = None,
+) -> FeatureExtractor:
+    from midvision_probe_tpu.models.vit_sam import (
+        SAM_PRESETS,
+        SAMViT,
+        SAMViTConfig,
+    )
+
+    entry = ZOO[name]
+    arch = name.replace("sam_", "")
+    cfg = SAMViTConfig(dtype=dtype, **SAM_PRESETS[arch])
+    multilayers = default_vit_multilayers(cfg.depth)
+    if not return_multilayer:
+        multilayers = [multilayers[-1] if layer == -1 else layer]
+
+    spec = FeatureSpec(
+        feat_dim=[cfg.width] * len(multilayers) if return_multilayer
+        else cfg.width,
+        patch_size=cfg.patch_size,
+        multilayers=tuple(multilayers),
+        arch="sam",
+        checkpoint_name=name,
+        output=output,
+        num_layers=cfg.depth,
+        add_norm=add_norm,
+        image_mean=entry.image_mean,
+        image_std=entry.image_std,
+    )
+    module = SAMViT(cfg)
+    path = os.path.join(checkpoint_dir(), entry.filename)
+    variables = None
+    if os.path.exists(path):
+        from midvision_probe_tpu.models.convert.sam_convert import convert_sam
+
+        variables = convert_sam(_load_torch_file(path), cfg)
+    if variables is None:
+        log.warning("no checkpoint for %s under %s — random init", name,
+                    checkpoint_dir())
+        variables = _random_init(
+            module, init_size or 224, {"taps": tuple(multilayers)}
+        )
+
+    def apply_fn(vs, images):
+        res = module.apply(vs, images, taps=tuple(multilayers))
+        maps = [m.astype(jnp.float32) for m in res["maps"]]
+        if output == "gap":
+            maps = [m.mean(axis=(1, 2)) for m in maps]
+        return maps, None
+
+    return FeatureExtractor(
+        apply_fn, variables, spec,
+        return_multilayer=return_multilayer, return_cls=return_cls,
+    )
+
+
+def SAM(arch="vit_b", output="dense", layer=-1, return_multilayer=False,
+        add_norm=False, **kw):
+    """reference ``sam.py:11-113``."""
+    kw.pop("return_cls", None)
+    return build_sam_extractor(
+        f"sam_{arch}", output=output, layer=layer,
+        return_multilayer=return_multilayer, add_norm=add_norm, **_clean(kw),
     )
 
 
