@@ -70,7 +70,7 @@ def _get_rel_pos(q_size: int, k_size: int, rel_pos: jnp.ndarray) -> jnp.ndarray:
 class SAMAttention(nn.Module):
     cfg: SAMViTConfig
     use_rel_pos: bool = True
-    input_hw: tuple = (14, 14)
+    table_hw: tuple = (14, 14)  # static table extent (window or canonical grid)
 
     @nn.compact
     def __call__(self, x):
@@ -91,10 +91,10 @@ class SAMAttention(nn.Module):
 
         if self.use_rel_pos:
             rel_h = self.param("rel_pos_h", nn.initializers.zeros,
-                               (2 * self.input_hw[0] - 1, c.head_dim),
+                               (2 * self.table_hw[0] - 1, c.head_dim),
                                jnp.float32)
             rel_w = self.param("rel_pos_w", nn.initializers.zeros,
-                               (2 * self.input_hw[1] - 1, c.head_dim),
+                               (2 * self.table_hw[1] - 1, c.head_dim),
                                jnp.float32)
             Rh = _get_rel_pos(H, H, rel_h.astype(c.dtype))  # (H, H, hd)
             Rw = _get_rel_pos(W, W, rel_w.astype(c.dtype))
@@ -144,10 +144,12 @@ class SAMBlock(nn.Module):
         if self.window_size > 0:
             hw = h.shape[1:3]
             h, hp_wp = _window_partition(h, self.window_size)
-            attn_hw = (self.window_size, self.window_size)
+            table_hw = (self.window_size, self.window_size)
         else:
-            attn_hw = h.shape[1:3]
-        h = SAMAttention(c, input_hw=attn_hw, name="attn")(h)
+            # global blocks store tables at the canonical grid extent and
+            # interpolate to the runtime grid inside _get_rel_pos
+            table_hw = tuple(c.table_grid)
+        h = SAMAttention(c, table_hw=table_hw, name="attn")(h)
         if self.window_size > 0:
             h = _window_unpartition(h, self.window_size, hp_wp, hw)
         x = shortcut + h
