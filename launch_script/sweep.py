@@ -1,0 +1,94 @@
+#!/usr/bin/env python
+"""Backbone-sweep launcher — TPU-native replacement for the reference's
+submitit SLURM scripts (``launch_script/launch_depth.py`` etc.).
+
+The reference submits one independent 2-GPU SLURM job per backbone; on TPU
+the natural unit is one process per host driving the whole mesh, so this
+runner executes the sweep as sequential (or ``--parallel N`` subprocess)
+driver invocations, one per backbone, with per-run logs under ``logs/``.
+The default model list is the reference's depth-sweep list
+(``launch_depth.py:22-51``).
+
+Usage:
+    python launch_script/sweep.py --task depth --models dino_b16 mae_b16
+    python launch_script/sweep.py --task snorm            # full list
+    python launch_script/sweep.py --task depth --extra dataset=navi_reldepth
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import subprocess
+import sys
+import time
+
+# reference launch_depth.py:22-51
+DEFAULT_MODELS = [
+    "mocov3_resnet50", "crocov2_b16", "croco_b16", "barlowtwins_resnet50",
+    "beit-v2_vitb16", "byol_resnet50", "clusterfit_resnet50",
+    "deepcluster-v2-resnet50", "densecl_resnet50", "dino_b16", "eva_vitb16",
+    "ibot_b16", "jigsaw_resnet50", "mae_b16", "maskfeat_vitb16",
+    "milan_vitb16", "mocov2_resnet50", "mocov3_b14", "npid-plusplus_resnet50",
+    "pirl_resnet50", "pixmlm_vitb16", "rotnet_resnet50", "simsiam_resnet50",
+    "sela-v2_resnet50", "simclr_resnet50", "swav_resnet50", "npid_resnet50",
+    "dino_resnet50",
+]
+
+DRIVERS = {
+    "depth": "train_depth.py",
+    "snorm": "train_snorm.py",
+    "objectness": "train_generic_objectness.py",
+    "taskonomy": "train_taskonomy.py",
+    "spair": "evaluate_spair_correspondence.py",
+    "navi": "evaluate_navi_correspondence.py",
+    "scannet": "render_scannet_correspondence.py",
+    "percepture": "evaluate_model_percepture.py",
+    "maskcut": "evaluate_generic_objectness.py",
+}
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--task", default="depth", choices=sorted(DRIVERS))
+    ap.add_argument("--models", nargs="*", default=None)
+    ap.add_argument("--extra", nargs="*", default=[],
+                    help="extra key=value overrides for every run")
+    ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--log-dir", default="logs")
+    ap.add_argument("--dry-run", action="store_true")
+    args = ap.parse_args(argv)
+
+    models = args.models or DEFAULT_MODELS
+    driver = DRIVERS[args.task]
+    os.makedirs(os.path.join(args.log_dir, args.task), exist_ok=True)
+
+    failures = []
+    for model in models:
+        overrides = [f"backbone={model}"]
+        if args.task in ("depth", "snorm", "taskonomy"):
+            overrides += ["+backbone.return_multilayer=True",
+                          f"system.random_seed={args.seed}"]
+        overrides += list(args.extra)
+        cmd = [sys.executable, driver] + overrides
+        log_path = os.path.join(args.log_dir, args.task, f"{model}.log")
+        print(f"[sweep] {' '.join(cmd)} -> {log_path}", flush=True)
+        if args.dry_run:
+            continue
+        t0 = time.time()
+        with open(log_path, "w") as log:
+            ret = subprocess.call(cmd, stdout=log, stderr=subprocess.STDOUT)
+        status = "ok" if ret == 0 else f"FAILED ({ret})"
+        print(f"[sweep] {model}: {status} in {time.time() - t0:.0f}s",
+              flush=True)
+        if ret != 0:
+            failures.append(model)
+
+    if failures:
+        print(f"[sweep] {len(failures)} failures: {failures}")
+        return 1
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -309,6 +309,62 @@ def segment_metrics_snorm(snorm_pr, snorm_gt, segmentation_map,
     return out
 
 
+def evaluate_curvature_absrel(norm_curvature, norm_gt_curvature, valid,
+                              image_average=False):
+    """Taskonomy principal-curvature metrics (``metrics.py:580-678``).
+    Inputs NHWC with 2 channels (k1, k2); valid (B, H, W, 1|2)."""
+    if valid.shape[-1] == 1:
+        valid = jnp.repeat(valid, 2, axis=-1)
+    pred = jnp.clip(norm_curvature[..., :2], -1.0, 1.0)
+    gt = norm_gt_curvature[..., :2]
+
+    num_valid = [jnp.clip(valid[..., c].sum(axis=(1, 2)), 1, None)
+                 for c in range(2)]
+    abs_rel_c, d_c = [], []
+    for c in range(2):
+        ar = jnp.abs(pred[..., c] - gt[..., c]) / jnp.abs(gt[..., c] + 1e-6)
+        ar = (ar * valid[..., c]).sum(axis=(1, 2)) / num_valid[c]
+        abs_rel_c.append(ar)
+        ratio = jnp.maximum(pred[..., c] / gt[..., c], gt[..., c] / pred[..., c])
+        ratio = ratio * valid[..., c]
+        ds = []
+        for k, th in enumerate([1.25, 1.25 * 2, 1.25 * 3]):
+            ds.append(((ratio < th).astype(jnp.float32) * valid[..., c]).sum(
+                axis=(1, 2)) / num_valid[c])
+        d_c.append(ds)
+
+    out = {"AbsRel": (abs_rel_c[0] + abs_rel_c[1]) / 2}
+    names = ["δ1.25", "δ2.5", "δ3.75"]
+    for k, nm in enumerate(names):
+        out[f"{nm}_k1"] = d_c[0][k]
+        out[f"{nm}_k2"] = d_c[1][k]
+        out[f"{nm}_avg"] = (d_c[0][k] + d_c[1][k]) / 2
+    if image_average:
+        out = {k: v.mean() for k, v in out.items()}
+    return out
+
+
+def evaluate_reshading_absrel_and_delta(pred, target, mask,
+                                        thresholds=(1.1, 1.1**2, 1.1**3),
+                                        image_average=False):
+    """Taskonomy reshading metrics (``metrics.py:681-739``). NHWC 1-ch."""
+    pred = _squeeze_chan(pred)
+    target = _squeeze_chan(target)
+    mask = _squeeze_chan(mask).astype(jnp.float32)
+    pred = pred * mask
+    target = target * mask
+    num = jnp.clip(mask.sum(axis=(1, 2)), 1, None)
+    absrel = jnp.abs(pred - target) / (target + 1e-6)
+    out = {"AbsRel": (absrel * mask).sum(axis=(1, 2)) / num}
+    for th in thresholds:
+        ratio = jnp.maximum(pred / (target + 1e-6), target / (pred + 1e-6))
+        out[f"δ_{th}"] = ((ratio < th).astype(jnp.float32) * mask).sum(
+            axis=(1, 2)) / num
+    if image_average:
+        out = {k: v.mean() for k, v in out.items()}
+    return out
+
+
 # --------------------------------------------------------------------------
 # binary-mask (objectness) metrics — reference ``evals/utils/metric.py`` and
 # the duplicated copies in both objectness drivers
