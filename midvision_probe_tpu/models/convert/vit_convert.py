@@ -68,7 +68,16 @@ def convert_vit_timm(
             },
         }
         attn: dict[str, Any] = {"proj": _dense(sub, f"{b}.attn.proj")}
-        if f"{b}.attn.qkv.weight" in sub:
+        if f"{b}.attn.q_bias" in sub:
+            # BEiT: fused qkv weight, but bias only on q and v
+            # (impl_utils/beit_model.py) — k bias is structurally zero
+            qb = _np(sub[f"{b}.attn.q_bias"])
+            vb = _np(sub[f"{b}.attn.v_bias"])
+            attn["qkv"] = {
+                "kernel": _np(sub[f"{b}.attn.qkv.weight"]).T,
+                "bias": np.concatenate([qb, np.zeros_like(qb), vb]),
+            }
+        elif f"{b}.attn.qkv.weight" in sub:
             attn["qkv"] = _dense(sub, f"{b}.attn.qkv", bias=cfg.qkv_bias)
         else:  # split q/k/v (some local impls)
             qw = _np(sub[f"{b}.attn.q.weight"])
@@ -83,6 +92,10 @@ def convert_vit_timm(
                         _np(sub[f"{b}.attn.v.bias"]),
                     ]
                 )
+        if cfg.rel_pos_bias and f"{b}.attn.relative_position_bias_table" in sub:
+            attn["rel_pos_bias_table"] = _np(
+                sub[f"{b}.attn.relative_position_bias_table"]
+            )
         block["attn"] = attn
         if cfg.layerscale:
             if f"{b}.gamma_1" in sub:

@@ -138,6 +138,35 @@ class FeatureExtractor:
         outputs, _ = self._jitted(images)
         return outputs
 
+    def extract_kqv(self, images: jnp.ndarray, mode: str = "k"):
+        """Dense features from the last tapped attention's k/q/v
+        (reference ``return_kqv`` / ``extract_kqv``, ``dino.py:82-138``).
+
+        Returns (B, h, w, C) for mode in {k, q, v} or (B, h, w, 3C) for
+        'kqv'. ViT extractors only."""
+        assert self.arch == "vit", "kqv extraction is a ViT feature"
+        module = getattr(self._apply_fn, "_module", None)
+        taps = getattr(self._apply_fn, "_taps", None)
+        if module is None:
+            raise NotImplementedError("extractor lacks module metadata")
+        res, state = module.apply(
+            self.variables, images, taps=tuple(taps),
+            mutable=["intermediates"],
+        )
+        gh, gw = res["grid_hw"]
+        inter = state["intermediates"]
+        last = f"blocks_{max(taps)}"
+        q, k, v = inter[last]["attn"]["qkv_heads"][0]
+
+        def to_map(t):  # (B, H, N, hd) -> (B, h, w, C), patch tokens only
+            B, H, N, hd = t.shape
+            t = jnp.transpose(t, (0, 2, 1, 3)).reshape(B, N, H * hd)
+            return t[:, -gh * gw:].reshape(B, gh, gw, H * hd)
+
+        if mode == "kqv":
+            return jnp.concatenate([to_map(k), to_map(q), to_map(v)], axis=-1)
+        return to_map({"k": k, "q": q, "v": v}[mode])
+
 
 def make_vit_feature_fn(
     module,
@@ -159,6 +188,8 @@ def make_vit_feature_fn(
             clss.append(cls_tok)
         return maps, clss
 
+    apply_fn._module = module  # metadata for extract_kqv
+    apply_fn._taps = tuple(taps)
     return apply_fn
 
 

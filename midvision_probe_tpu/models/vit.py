@@ -169,6 +169,11 @@ class Attention(nn.Module):
         k = jnp.transpose(k, (0, 2, 1, 3))
         v = jnp.transpose(v, (0, 2, 1, 3))
 
+        # expose raw q/k/v for the reference's return_kqv path
+        # (``dino.py:82-138``); materialized only when callers request the
+        # 'intermediates' collection
+        self.sow("intermediates", "qkv_heads", (q, k, v))
+
         if c.rope and pos_2d is not None:
             # rotate patch tokens only; prefix tokens are left untouched
             p = c.num_prefix_tokens

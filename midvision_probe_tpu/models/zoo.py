@@ -232,6 +232,23 @@ register(ZooEntry(
     vit=_vit("vit_base", 16, pos_embed="none", class_token=False, rope=True),
 ))
 
+# --- MiDaS / RADIO (reference midas_final.py, radio.py) -------------------
+register(ZooEntry(
+    "midas_l16", "vit", "state_dict", "dpt_beit_large_384.pt",
+    url="intel-isl/MiDaS dpt_beit_large_384 (midas_final.py:83-87)",
+    vit=_vit("vit_large", 16, pos_embed="none", rel_pos_bias=True,
+             layerscale=True),
+    prefix="pretrained.model.",
+    default_size=384,
+    image_mean=(0.5, 0.5, 0.5), image_std=(0.5, 0.5, 0.5),
+))
+register(ZooEntry(
+    "radio_v2", "vit", "state_dict", "radio_v2.pth.tar",
+    url="NVlabs RADIO v2 (radio.py:35); approximated as the ViT-H/16 trunk",
+    vit=_vit("vit_huge", 16, 14, final_norm=False),
+    prefix="base_model.model.",
+))
+
 # --- SAM image encoders (reference sam.py; windowed-attention ViTDet) -----
 for _arch, _file in [("vit_b", "sam_vit_b_01ec64.pth"),
                      ("vit_l", "sam_vit_l_0b3195.pth"),
@@ -753,6 +770,51 @@ def ConvNext(arch="convnext_base", checkpoint="in22k", output="dense",
     return build_convnext_extractor(
         name, output=output, layer=layer, return_multilayer=return_multilayer,
         add_norm=add_norm, **_clean(kw),
+    )
+
+
+def make_beit_backbone(output="dense", layer=-1, midas=True,
+                       return_multilayer=False, add_norm=False, **kw):
+    """reference ``midas_final.py:83-119`` (MiDaS DPT-BEiT-L/16-384 trunk)."""
+    kw.pop("return_cls", None)
+    return build_vit_extractor(
+        "midas_l16", output=output, layer=layer,
+        return_multilayer=return_multilayer, add_norm=add_norm, **_clean(kw),
+    )
+
+
+def RADIO(version="radio_v2", output="dense", layer=-1,
+          return_multilayer=False, add_norm=False, **kw):
+    """reference ``radio.py:35`` (NVIDIA agglomerative ViT).
+
+    Approximation note: RADIO's input conditioner + CPE are folded into the
+    plain ViT-H/16 trunk here; spatial-feature parity requires the trunk
+    weights under $MVP_CHECKPOINT_DIR/radio_v2.pth.tar."""
+    kw.pop("return_cls", None)
+    return build_vit_extractor(
+        "radio_v2", output=output, layer=layer,
+        return_multilayer=return_multilayer, add_norm=add_norm, **_clean(kw),
+    )
+
+
+def DIFT(model_id="stabilityai/stable-diffusion-2-1", time_step=1, layer=1,
+         output="dense", **kw):
+    """reference ``stablediffusion.py`` / ``dift_sd.py`` — one-step noised
+    SD-2.1 UNet up-block featurizer. The diffusion UNet port is scheduled
+    for a later round; fail loudly instead of silently degrading."""
+    raise NotImplementedError(
+        "DIFT (Stable-Diffusion featurizer) is not yet ported to the TPU "
+        "stack — the SD-2.1 UNet implementation is planned; see README "
+        "roadmap. (reference: evals/models/dift_sd.py)"
+    )
+
+
+def Zero123(**kw):
+    """reference ``zero123.py`` — SD-variant novel-view featurizer
+    (same roadmap as DIFT)."""
+    raise NotImplementedError(
+        "Zero123 featurizer is not yet ported — see README roadmap "
+        "(reference: evals/models/zero123.py)"
     )
 
 

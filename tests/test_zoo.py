@@ -77,3 +77,14 @@ def test_register_tokens_ignored_in_spatial(rng, name):
     x = jnp.asarray(rng.randn(1, 112, 112, 3).astype(np.float32))
     out = m(x)
     assert out.shape == (1, 8, 8, 768)
+
+
+def test_extract_kqv(rng):
+    import jax.numpy as jnp
+
+    m = zoo.build_vit_extractor("test_tiny_vit", output="dense", init_size=64)
+    x = jnp.asarray(rng.randn(1, 64, 64, 3).astype(np.float32))
+    k = m.extract_kqv(x, mode="k")
+    assert k.shape == (1, 8, 8, 32)
+    kqv = m.extract_kqv(x, mode="kqv")
+    assert kqv.shape == (1, 8, 8, 96)
