@@ -21,10 +21,16 @@ from midvision_probe_tpu.utils.logging import CSVWriter, maybe_wandb, setup_logg
 def build_backbone(cfg: Config, needs_multilayer: bool):
     """Instantiate the backbone; DPT/multiscale heads need 4 taps — mirror
     the reference README's ``+backbone.return_multilayer=True`` convention
-    but default it on when the probe requires it."""
+    but default it on when the probe requires it. ``system.backbone_dtype``
+    selects the frozen forward's compute dtype (bfloat16 = MXU-native)."""
     kwargs = {}
     if needs_multilayer and not cfg.backbone.get("return_multilayer", False):
         kwargs["return_multilayer"] = True
+    dtype_name = cfg.get_path("system.backbone_dtype", None)
+    if dtype_name:
+        import jax.numpy as jnp
+
+        kwargs["dtype"] = getattr(jnp, dtype_name)
     return instantiate(cfg.backbone, **kwargs)
 
 
@@ -63,6 +69,7 @@ def make_trainer(cfg: Config, backbone, probe, loss_fn, steps_per_epoch: int):
         add_norm=bool(cfg.backbone.get("add_norm", False)),
         num_devices=cfg.system.get("num_devices", -1),
         seed=cfg.system.get("random_seed", 8),
+        cache_features=bool(cfg.get_path("system.cache_features", False)),
     )
 
 

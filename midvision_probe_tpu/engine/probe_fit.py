@@ -65,9 +65,19 @@ class ProbeTrainer:
     add_norm: bool = False
     num_devices: int = -1
     seed: int = 8
+    # Cache frozen features across epochs (requires a deterministic loader:
+    # shuffle off, augment off): extraction runs once, later epochs train the
+    # probe alone — the dominant cost of the reference's 10-epoch recipe
+    # disappears (its hot loop re-extracts every epoch,
+    # train_depth.py:104-110). Features are held host-side in float16; sized
+    # for subsampled probing runs and the eval pipelines, not for the full
+    # NYU train set.
+    cache_features: bool = False
 
     def __post_init__(self):
         self.mesh = make_mesh(self.num_devices)
+        self._feature_cache: dict[int, list] = {}
+        self._extract_jit = None
         self.tap_norms = (
             TapNorms(num_taps=len(self.backbone.multilayers))
             if self.add_norm
@@ -105,8 +115,10 @@ class ProbeTrainer:
         return self.state
 
     # ------------------------------------------------------------- forward
-    def _forward(self, params, batch_stats, images, train: bool):
-        feats = self.backbone._apply_fn(self.backbone.variables, images)[0]
+    def _forward(self, params, batch_stats, images, train: bool,
+                 feats=None):
+        if feats is None:
+            feats = self.backbone._apply_fn(self.backbone.variables, images)[0]
         feats = [jax.lax.stop_gradient(f) for f in feats]
         new_stats = dict(batch_stats)
         if self.tap_norms is not None:
@@ -137,11 +149,12 @@ class ProbeTrainer:
         return pred, new_stats
 
     # ---------------------------------------------------------------- step
-    def _make_train_step(self):
-        def step(state: TrainState, batch: dict):
+    def _make_train_step(self, cached: bool):
+        def step(state: TrainState, batch: dict, feats=None):
             def loss_wrt(params):
                 pred, new_stats = self._forward(
-                    params, state.batch_stats, batch["image"], train=True
+                    params, state.batch_stats, batch.get("image"),
+                    train=True, feats=feats,
                 )
                 return self.loss_fn(pred, batch), new_stats
 
@@ -157,17 +170,48 @@ class ProbeTrainer:
                 loss,
             )
 
-        return jax.jit(step, donate_argnums=(0,))
+        if cached:
+            return jax.jit(step, donate_argnums=(0,))
+        return jax.jit(lambda s, b: step(s, b), donate_argnums=(0,))
+
+    def _extract(self, images):
+        if self._extract_jit is None:
+            self._extract_jit = jax.jit(
+                lambda im: [
+                    f.astype(jnp.bfloat16)
+                    for f in self.backbone._apply_fn(
+                        self.backbone.variables, im
+                    )[0]
+                ]
+            )
+        return self._extract_jit(images)
 
     def train_epoch(self, loader, log_every: int = 50, logger=None,
                     wandb=None) -> float:
         if self._train_step is None:
-            self._train_step = self._make_train_step()
+            self._train_step = self._make_train_step(self.cache_features)
+        if self.cache_features and getattr(loader, "shuffle", False):
+            raise ValueError(
+                "cache_features requires a deterministic loader "
+                "(shuffle=False); per-epoch reshuffling would serve stale "
+                "features"
+            )
         losses = []
         t0 = time.time()
         for i, batch in enumerate(loader):
             batch = shard_batch(self._pad(_to_jnp(batch)), self.mesh)
-            self.state, loss = self._train_step(self.state, batch)
+            if self.cache_features:
+                cached = self._feature_cache.get(i)
+                if cached is None:
+                    feats = self._extract(batch["image"])
+                    # np.asarray keeps bfloat16 (ml_dtypes) — same dtype on
+                    # both paths, so the step never recompiles
+                    self._feature_cache[i] = [np.asarray(f) for f in feats]
+                else:
+                    feats = [jax.device_put(f) for f in cached]
+                self.state, loss = self._train_step(self.state, batch, feats)
+            else:
+                self.state, loss = self._train_step(self.state, batch)
             losses.append(loss)
             if logger and (i + 1) % log_every == 0:
                 lv = float(jnp.mean(jnp.stack(losses[-log_every:])))

@@ -54,3 +54,24 @@ def test_train_depth_resume(tmp_path):
     cfg2 = compose("depth_training", overrides + ["is_eval=True"])
     row = train_depth.run(cfg2)
     assert np.isfinite(row["sa_rmse"])
+
+
+def test_train_depth_with_feature_cache(tmp_path):
+    """cache_features path: deterministic loader, second epoch reuses
+    host-cached bf16 features."""
+    from midvision_probe_tpu.config import compose
+
+    import train_depth
+
+    cfg = compose(
+        "depth_training",
+        [
+            "backbone=test_tiny", "dataset=synthetic", "probe=depth_linear",
+            "batch_size=8", "dataset.num_instances=16",
+            "optimizer.n_epochs=2", "optimizer.warmup_epochs=0.2",
+            "+backbone.return_multilayer=True", f"output_dir={tmp_path}",
+            "+system.cache_features=True", "+system.backbone_dtype=bfloat16",
+        ],
+    )
+    row = train_depth.run(cfg)
+    assert np.isfinite(row["sa_rmse"])

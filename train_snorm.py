@@ -34,9 +34,12 @@ def run(cfg):
     head_type = cfg.probe.get("head_type", "dpt")
     backbone = build_backbone(cfg, needs_multilayer=head_type != "linear")
 
+    # feature caching requires a deterministic batch order
+    shuffle = False if cfg.get_path("system.cache_features", False) else None
     train_loader = build_loader(
         cfg.dataset, "trainval", cfg.batch_size,
         seed=cfg.system.get("random_seed", 8),
+        shuffle=shuffle,
     )
     test_loader = build_loader(cfg.dataset, "test", cfg.batch_size)
 
