@@ -1,0 +1,189 @@
+"""One-step SD featurizer + DIFT wrapper (reference ``dift_sd.py`` +
+``stablediffusion.py``).
+
+Pipeline per batch (``dift_sd.py:186-214``): CLIP-encode the prompt →
+VAE-encode images to scaled mode latents → add DDPM noise at timestep t →
+UNet forward capturing up-block features [1280, 1280, 640, 320] → resize to
+the /16 grid for ``dense`` output.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from midvision_probe_tpu.models.sd.convert import (
+    convert_text_encoder,
+    convert_unet,
+    convert_vae_encoder,
+)
+from midvision_probe_tpu.models.sd.text_encoder import (
+    CLIPTextConfig,
+    CLIPTextEncoder,
+)
+from midvision_probe_tpu.models.sd.unet import UNet2DCondition, UNetConfig
+from midvision_probe_tpu.models.sd.vae import VAEEncoder, VAEEncoderConfig
+
+log = logging.getLogger(__name__)
+
+
+def ddpm_alphas_cumprod(num_steps=1000, beta_start=0.00085, beta_end=0.012):
+    """scaled_linear betas (SD scheduler config)."""
+    betas = np.linspace(beta_start**0.5, beta_end**0.5, num_steps) ** 2
+    return np.cumprod(1.0 - betas)
+
+
+class SDFeaturizer:
+    """Flax analog of reference ``SDFeaturizer`` (``dift_sd.py:157-262``).
+
+    Weights resolve from ``$MVP_CHECKPOINT_DIR/sd21/{unet,vae,text_encoder}
+    .bin`` (torch state_dicts in diffusers layout); missing parts random-init
+    with a warning. Prompts need a local CLIP tokenizer
+    (``$MVP_CHECKPOINT_DIR/sd21/tokenizer``) — otherwise pass
+    ``prompt_embeds`` or use the empty prompt's learned embedding path.
+    """
+
+    def __init__(self, sd_id="stabilityai/stable-diffusion-2-1",
+                 dtype=jnp.float32, unet_cfg=None, vae_cfg=None,
+                 text_cfg=None):
+        self.unet_cfg = unet_cfg or UNetConfig(dtype=dtype)
+        self.vae_cfg = vae_cfg or VAEEncoderConfig(dtype=dtype)
+        self.text_cfg = text_cfg or CLIPTextConfig(dtype=dtype)
+        self.unet = UNet2DCondition(self.unet_cfg)
+        self.vae = VAEEncoder(self.vae_cfg)
+        self.text = CLIPTextEncoder(self.text_cfg)
+        self.alphas_cumprod = jnp.asarray(ddpm_alphas_cumprod())
+        self._load(sd_id)
+        self._jit_feats = None
+
+    def _ckpt_dir(self):
+        from midvision_probe_tpu.models.zoo import checkpoint_dir
+
+        return os.path.join(checkpoint_dir(), "sd21")
+
+    def _load(self, sd_id):
+        import torch
+
+        d = self._ckpt_dir()
+        rng = jax.random.PRNGKey(0)
+        cpu = jax.devices("cpu")[0]
+
+        def try_load(name, converter, cfg, init_fn):
+            path = os.path.join(d, f"{name}.bin")
+            if os.path.exists(path):
+                sd = torch.load(path, map_location="cpu", weights_only=False)
+                sd = sd.get("state_dict", sd)
+                return converter(sd, cfg)
+            log.warning("SD %s weights missing under %s — random init "
+                        "(features are not meaningful)", name, d)
+            with jax.default_device(cpu):
+                return init_fn(rng)
+
+        self.unet_vars = try_load(
+            "unet", convert_unet, self.unet_cfg,
+            lambda r: self.unet.init(
+                r, jnp.zeros((1, 8, 8, 4)), jnp.zeros((1,), jnp.int32),
+                jnp.zeros((1, 77, self.text_cfg.hidden_size)),
+            ),
+        )
+        self.vae_vars = try_load(
+            "vae", convert_vae_encoder, self.vae_cfg,
+            lambda r: self.vae.init(r, jnp.zeros((1, 64, 64, 3))),
+        )
+        self.text_vars = try_load(
+            "text_encoder", convert_text_encoder, self.text_cfg,
+            lambda r: self.text.init(r, jnp.zeros((1, 77), jnp.int32)),
+        )
+
+    def encode_prompt(self, prompts: list[str]) -> jnp.ndarray:
+        """Tokenize (local tokenizer) + text-encode (``dift_sd.py:218-262``)."""
+        from transformers import CLIPTokenizer
+
+        tok_dir = os.path.join(self._ckpt_dir(), "tokenizer")
+        tokenizer = CLIPTokenizer.from_pretrained(tok_dir)
+        ids = tokenizer(prompts, padding="max_length", max_length=77,
+                        truncation=True, return_tensors="np").input_ids
+        return self.text.apply(self.text_vars, jnp.asarray(ids))
+
+    def __call__(self, images, prompt_embeds, t=1, up_ft_indices=(0, 1, 2, 3),
+                 noise_seed=0):
+        """images (B, H, W, 3) in [-1, 1]; prompt_embeds (B, 77, 1024)."""
+        if self._jit_feats is None:
+            @jax.jit
+            def fn(images, embeds, t, noise_key):
+                latents = self.vae.apply(self.vae_vars, images)
+                a = self.alphas_cumprod[t]
+                noise = jax.random.normal(noise_key, latents.shape,
+                                          latents.dtype)
+                noisy = (jnp.sqrt(a)[:, None, None, None] * latents
+                         + jnp.sqrt(1 - a)[:, None, None, None] * noise)
+                out = self.unet.apply(self.unet_vars, noisy, t, embeds,
+                                      up_ft_indices=tuple(up_ft_indices))
+                return out["up_ft"]
+
+            self._jit_feats = fn
+        B = images.shape[0]
+        t_arr = jnp.full((B,), int(t), jnp.int32)
+        key = jax.random.PRNGKey(noise_seed)
+        return self._jit_feats(jnp.asarray(images), jnp.asarray(prompt_embeds),
+                               t_arr, key)
+
+
+class DIFT:
+    """Reference ``stablediffusion.DIFT`` contract (feat dims
+    [1280, 1280, 640, 320], /16 dense output, empty default prompt)."""
+
+    def __init__(self, model_id="stabilityai/stable-diffusion-2-1",
+                 time_step=250, output="dense", layer=1,
+                 return_multilayer=False, add_norm=False, **_):
+        assert output in ("gap", "dense")
+        self.output = output
+        self.time_step = time_step
+        self.checkpoint_name = model_id.split("/")[-1] + f"_noise-{time_step}"
+        self.patch_size = 16
+        self.arch = "diffusion"
+        self.featurizer = SDFeaturizer(model_id)
+        feat_dims = [1280, 1280, 640, 320]
+        multilayers = [0, 1, 2, 3]
+        if return_multilayer:
+            self.feat_dim = feat_dims
+            self.multilayers = multilayers
+        else:
+            layer = multilayers[-1] if layer == -1 else layer
+            self.feat_dim = feat_dims[layer]
+            self.multilayers = [layer]
+        self.return_multilayer = return_multilayer
+        self.layer = "-".join(str(x) for x in self.multilayers)
+        self._empty_embed = None
+
+    def _prompt_embeds(self, batch, categories=None, prompts=None):
+        if categories is not None:
+            prompts = [f"a photo of a {c}" for c in categories]
+        if prompts is None:
+            prompts = [""] * batch
+        try:
+            return self.featurizer.encode_prompt(prompts)
+        except Exception as e:  # tokenizer absent: zero-context fallback
+            log.warning("prompt encoding unavailable (%s); using zeros", e)
+            return jnp.zeros(
+                (batch, 77, self.featurizer.text_cfg.hidden_size)
+            )
+
+    def __call__(self, images, categories=None, prompts=None):
+        from midvision_probe_tpu.ops.image import resize
+
+        B, H, W, _ = images.shape
+        embeds = self._prompt_embeds(B, categories, prompts)
+        feats = self.featurizer(images, embeds, t=self.time_step)
+        feats = [feats[i] for i in self.multilayers]
+        h, w = H // self.patch_size, W // self.patch_size
+        if self.output == "dense":
+            feats = [resize(f.astype(jnp.float32), (h, w), mode="nearest")
+                     for f in feats]
+        else:
+            feats = [f.mean(axis=(1, 2)) for f in feats]
+        return feats[0] if len(feats) == 1 else feats

@@ -798,22 +798,25 @@ def RADIO(version="radio_v2", output="dense", layer=-1,
 
 
 def DIFT(model_id="stabilityai/stable-diffusion-2-1", time_step=1, layer=1,
-         output="dense", **kw):
+         output="dense", return_multilayer=False, add_norm=False, **kw):
     """reference ``stablediffusion.py`` / ``dift_sd.py`` — one-step noised
-    SD-2.1 UNet up-block featurizer. The diffusion UNet port is scheduled
-    for a later round; fail loudly instead of silently degrading."""
-    raise NotImplementedError(
-        "DIFT (Stable-Diffusion featurizer) is not yet ported to the TPU "
-        "stack — the SD-2.1 UNet implementation is planned; see README "
-        "roadmap. (reference: evals/models/dift_sd.py)"
-    )
+    SD-2.1 UNet up-block featurizer (Flax SD stack in ``models/sd/``).
+    Weights: ``$MVP_CHECKPOINT_DIR/sd21/{unet,vae,text_encoder}.bin``."""
+    from midvision_probe_tpu.models.sd.featurizer import DIFT as _DIFT
+
+    return _DIFT(model_id=model_id, time_step=time_step, output=output,
+                 layer=layer, return_multilayer=return_multilayer,
+                 add_norm=add_norm)
 
 
 def Zero123(**kw):
-    """reference ``zero123.py`` — SD-variant novel-view featurizer
-    (same roadmap as DIFT)."""
+    """reference ``zero123.py`` — SD-variant novel-view featurizer. Its
+    checkpoint packaging (pytorch-lightning + omegaconf CLIP-image-
+    conditioned SD) differs from vanilla SD; the UNet/VAE cores in
+    ``models/sd/`` cover the compute, the ckpt adapter is still pending."""
     raise NotImplementedError(
-        "Zero123 featurizer is not yet ported — see README roadmap "
+        "Zero123's lightning checkpoint adapter is not wired yet; the SD "
+        "UNet/VAE cores it needs live in midvision_probe_tpu/models/sd/ "
         "(reference: evals/models/zero123.py)"
     )
 
