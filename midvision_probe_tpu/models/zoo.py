@@ -366,8 +366,16 @@ def load_variables(entry: ZooEntry, cfg) -> dict | None:
     return convert_vit_timm(sd, cfg, prefix=entry.prefix)
 
 
+_RANDOM_INIT_CACHE: dict = {}
+
+
 def _random_init(module, size: int, example_kw: dict | None = None) -> dict:
     kw = example_kw or {}
+    # deterministic (PRNGKey(0)) → safe to cache across repeated builds of
+    # the same module config (tests/sweeps re-instantiate extractors a lot)
+    cache_key = (repr(module), size, tuple(sorted(kw.items())))
+    if cache_key in _RANDOM_INIT_CACHE:
+        return _RANDOM_INIT_CACHE[cache_key]
     # init on the CPU backend: flax init traces the full forward, and
     # compiling that on a (possibly remote) TPU just to draw random params
     # wastes minutes of compile time
@@ -378,7 +386,9 @@ def _random_init(module, size: int, example_kw: dict | None = None) -> dict:
         variables = jax.jit(
             functools.partial(module.init, **kw), backend="cpu"
         )(rng, dummy)
-    return jax.tree_util.tree_map(np.asarray, variables)
+    variables = jax.tree_util.tree_map(np.asarray, variables)
+    _RANDOM_INIT_CACHE[cache_key] = variables
+    return variables
 
 
 # --------------------------------------------------------------------------
