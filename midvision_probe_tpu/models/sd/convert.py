@@ -172,3 +172,149 @@ def convert_text_encoder(sd: Mapping[str, Any], cfg: CLIPTextConfig) -> dict:
             "fc2": _dense(sd, f"{b}.mlp.fc2"),
         }
     return {"params": p}
+
+
+# ---------------------------------------------------------------------------
+# LDM / CompVis naming (Zero123 lightning checkpoints: model.diffusion_model)
+# ---------------------------------------------------------------------------
+def _ldm_resnet(sd, p):
+    out = {
+        "norm1": _gn(sd, f"{p}.in_layers.0"),
+        "conv1": _conv(sd, f"{p}.in_layers.2"),
+        "time_emb_proj": _dense(sd, f"{p}.emb_layers.1"),
+        "norm2": _gn(sd, f"{p}.out_layers.0"),
+        "conv2": _conv(sd, f"{p}.out_layers.3"),
+    }
+    if f"{p}.skip_connection.weight" in sd:
+        out["conv_shortcut"] = _conv(sd, f"{p}.skip_connection")
+    return out
+
+
+def _conv1x1_as_dense(sd, key):
+    w = _np(sd[f"{key}.weight"])  # (O, I, 1, 1)
+    return {"kernel": w[:, :, 0, 0].T, "bias": _np(sd[f"{key}.bias"])}
+
+
+def _ldm_transformer(sd, p):
+    tb = f"{p}.transformer_blocks.0"
+    def _proj(key):
+        # SD-1.x uses conv1x1 projections; SD-2.x linear
+        if _np(sd[f"{key}.weight"]).ndim == 4:
+            return _conv1x1_as_dense(sd, key)
+        return _dense(sd, key)
+    return {
+        "norm": _gn(sd, f"{p}.norm"),
+        "proj_in": _proj(f"{p}.proj_in"),
+        "proj_out": _proj(f"{p}.proj_out"),
+        "block": {
+            "norm1": {"scale": _np(sd[f"{tb}.norm1.weight"]),
+                      "bias": _np(sd[f"{tb}.norm1.bias"])},
+            "norm2": {"scale": _np(sd[f"{tb}.norm2.weight"]),
+                      "bias": _np(sd[f"{tb}.norm2.bias"])},
+            "norm3": {"scale": _np(sd[f"{tb}.norm3.weight"]),
+                      "bias": _np(sd[f"{tb}.norm3.bias"])},
+            "attn1": {
+                "to_q": _dense(sd, f"{tb}.attn1.to_q", bias=False),
+                "to_k": _dense(sd, f"{tb}.attn1.to_k", bias=False),
+                "to_v": _dense(sd, f"{tb}.attn1.to_v", bias=False),
+                "to_out": _dense(sd, f"{tb}.attn1.to_out.0"),
+            },
+            "attn2": {
+                "to_q": _dense(sd, f"{tb}.attn2.to_q", bias=False),
+                "to_k": _dense(sd, f"{tb}.attn2.to_k", bias=False),
+                "to_v": _dense(sd, f"{tb}.attn2.to_v", bias=False),
+                "to_out": _dense(sd, f"{tb}.attn2.to_out.0"),
+            },
+            "ff_proj": _dense(sd, f"{tb}.ff.net.0.proj"),
+            "ff_out": _dense(sd, f"{tb}.ff.net.2"),
+        },
+    }
+
+
+def convert_unet_ldm(sd: Mapping[str, Any], cfg: UNetConfig,
+                     prefix: str = "model.diffusion_model.") -> dict:
+    """LDM/CompVis UNet naming (input_blocks/middle_block/output_blocks) →
+    the same Flax tree as ``convert_unet`` (Zero123 checkpoints)."""
+    sub = {k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)}
+    n = len(cfg.block_out_channels)
+    L = cfg.layers_per_block
+
+    p: dict[str, Any] = {
+        "conv_in": _conv(sub, "input_blocks.0.0"),
+        "time_fc1": _dense(sub, "time_embed.0"),
+        "time_fc2": _dense(sub, "time_embed.2"),
+    }
+    k = 1
+    for lvl in range(n):
+        has_attn = lvl < n - 1
+        for b in range(L):
+            p[f"down_{lvl}_res_{b}"] = _ldm_resnet(sub, f"input_blocks.{k}.0")
+            if has_attn:
+                p[f"down_{lvl}_attn_{b}"] = _ldm_transformer(
+                    sub, f"input_blocks.{k}.1"
+                )
+            k += 1
+        if lvl < n - 1:
+            p[f"down_{lvl}_downsample"] = _conv(sub, f"input_blocks.{k}.0.op")
+            k += 1
+
+    p["mid_res_0"] = _ldm_resnet(sub, "middle_block.0")
+    p["mid_attn"] = _ldm_transformer(sub, "middle_block.1")
+    p["mid_res_1"] = _ldm_resnet(sub, "middle_block.2")
+
+    k = 0
+    for i in range(n):
+        has_attn = i > 0
+        for b in range(L + 1):
+            p[f"up_{i}_res_{b}"] = _ldm_resnet(sub, f"output_blocks.{k}.0")
+            if has_attn:
+                p[f"up_{i}_attn_{b}"] = _ldm_transformer(
+                    sub, f"output_blocks.{k}.1"
+                )
+            if b == L and i < n - 1:
+                up_idx = 2 if has_attn else 1
+                p[f"up_{i}_upsample"] = _conv(
+                    sub, f"output_blocks.{k}.{up_idx}.conv"
+                )
+            k += 1
+    return {"params": p}
+
+
+def convert_vae_encoder_ldm(sd: Mapping[str, Any], cfg: VAEEncoderConfig,
+                            prefix: str = "first_stage_model.") -> dict:
+    """LDM/CompVis AutoencoderKL encoder naming (``first_stage_model.encoder.
+    down.{i}.block.{j}`` etc.) → the ``convert_vae_encoder`` tree."""
+    sub = {k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)}
+
+    def res(p):
+        out = {
+            "norm1": _gn(sub, f"{p}.norm1"),
+            "conv1": _conv(sub, f"{p}.conv1"),
+            "norm2": _gn(sub, f"{p}.norm2"),
+            "conv2": _conv(sub, f"{p}.conv2"),
+        }
+        if f"{p}.nin_shortcut.weight" in sub:
+            out["conv_shortcut"] = _conv(sub, f"{p}.nin_shortcut")
+        return out
+
+    p: dict[str, Any] = {"conv_in": _conv(sub, "encoder.conv_in")}
+    for lvl in range(len(cfg.block_out_channels)):
+        for b in range(cfg.layers_per_block):
+            p[f"down_{lvl}_res_{b}"] = res(f"encoder.down.{lvl}.block.{b}")
+        k = f"encoder.down.{lvl}.downsample.conv"
+        if f"{k}.weight" in sub:
+            p[f"down_{lvl}_downsample"] = _conv(sub, k)
+    p["mid_res_0"] = res("encoder.mid.block_1")
+    p["mid_res_1"] = res("encoder.mid.block_2")
+    a = "encoder.mid.attn_1"
+    p["mid_attn"] = {
+        "group_norm": _gn(sub, f"{a}.norm"),
+        "to_q": _conv1x1_as_dense(sub, f"{a}.q"),
+        "to_k": _conv1x1_as_dense(sub, f"{a}.k"),
+        "to_v": _conv1x1_as_dense(sub, f"{a}.v"),
+        "to_out": _conv1x1_as_dense(sub, f"{a}.proj_out"),
+    }
+    p["conv_norm_out"] = _gn(sub, "encoder.norm_out")
+    p["conv_out"] = _conv(sub, "encoder.conv_out")
+    p["quant_conv"] = _conv(sub, "quant_conv")
+    return {"params": p}

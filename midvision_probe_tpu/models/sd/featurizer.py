@@ -187,3 +187,119 @@ class DIFT:
         else:
             feats = [f.mean(axis=(1, 2)) for f in feats]
         return feats[0] if len(feats) == 1 else feats
+
+
+class Zero123:
+    """Zero123 novel-view featurizer (reference ``zero123.py``).
+
+    LDM SD-1.x-style UNet (8-ch concat-conditioned input, 768-d CLIP-image
+    cross-attention, 8 fixed heads) + LDM VAE encoder, loaded from the
+    lightning checkpoint (``$MVP_CHECKPOINT_DIR/zero123/105000.ckpt``) via
+    the LDM-naming converters. Per the reference's ``sample_model``
+    (``zero123.py:41-109``): up-block features are extracted for both the
+    conditioned and unconditioned pass and combined with guidance scale 3.
+
+    The CLIP-image conditioning embedding (B, 1, 768) can be passed in
+    (produced e.g. by the ``clip_vitl14`` extractor + the checkpoint's
+    cc_projection); without it the unconditioned features are returned.
+    """
+
+    GUIDANCE_SCALE = 3.0
+
+    def __init__(self, time_step=1, output="dense", layer=1,
+                 return_multilayer=False, add_norm=False, **_):
+        assert output in ("gap", "dense")
+        self.output = output
+        self.time_step = time_step
+        self.checkpoint_name = f"zero123_t-{time_step}"
+        self.patch_size = 16
+        self.arch = "diffusion"
+
+        self.unet_cfg = UNetConfig(
+            in_channels=8, cross_attention_dim=768, num_heads=8
+        )
+        self.vae_cfg = VAEEncoderConfig()
+        self.unet = UNet2DCondition(self.unet_cfg)
+        self.vae = VAEEncoder(self.vae_cfg)
+        self.alphas_cumprod = jnp.asarray(ddpm_alphas_cumprod())
+        self._load()
+        self._jit = None
+
+        feat_dims = [1280, 1280, 640, 320]
+        multilayers = [0, 1, 2, 3]
+        if return_multilayer:
+            self.feat_dim = feat_dims
+            self.multilayers = multilayers
+        else:
+            layer = multilayers[-1] if layer == -1 else layer
+            self.feat_dim = feat_dims[layer]
+            self.multilayers = [layer]
+        self.return_multilayer = return_multilayer
+        self.layer = "-".join(str(x) for x in self.multilayers)
+
+    def _load(self):
+        import torch
+
+        from midvision_probe_tpu.models.sd.convert import (
+            convert_unet_ldm,
+            convert_vae_encoder_ldm,
+        )
+        from midvision_probe_tpu.models.zoo import checkpoint_dir
+
+        path = os.path.join(checkpoint_dir(), "zero123", "105000.ckpt")
+        cpu = jax.devices("cpu")[0]
+        rng = jax.random.PRNGKey(0)
+        if os.path.exists(path):
+            sd = torch.load(path, map_location="cpu",
+                            weights_only=False)["state_dict"]
+            self.unet_vars = convert_unet_ldm(sd, self.unet_cfg)
+            self.vae_vars = convert_vae_encoder_ldm(sd, self.vae_cfg)
+        else:
+            log.warning("zero123 checkpoint missing under %s — random init",
+                        path)
+            with jax.default_device(cpu):
+                self.unet_vars = self.unet.init(
+                    rng, jnp.zeros((1, 8, 8, 8)), jnp.zeros((1,), jnp.int32),
+                    jnp.zeros((1, 1, 768)),
+                )
+                self.vae_vars = self.vae.init(rng, jnp.zeros((1, 64, 64, 3)))
+
+    def __call__(self, images, cond_embeds=None, noise_seed=0):
+        """images (B, H, W, 3) in [-1, 1]; cond_embeds optional (B, 1, 768)."""
+        from midvision_probe_tpu.ops.image import resize
+
+        if self._jit is None:
+            @jax.jit
+            def fn(images, ctx, t, key):
+                # c_concat = unscaled VAE latents (zero123 encode_first_stage)
+                latents = self.vae.apply(self.vae_vars, images)
+                latents = latents / self.vae_cfg.scaling_factor
+                a = self.alphas_cumprod[t]
+                noise = jax.random.normal(key, latents.shape, latents.dtype)
+                noisy = (jnp.sqrt(a)[:, None, None, None] * latents
+                         + jnp.sqrt(1 - a)[:, None, None, None] * noise)
+                x = jnp.concatenate([noisy, latents], axis=-1)
+                cond = self.unet.apply(self.unet_vars, x, t, ctx)["up_ft"]
+                uncond = self.unet.apply(
+                    self.unet_vars, x, t, jnp.zeros_like(ctx)
+                )["up_ft"]
+                return [
+                    u + self.GUIDANCE_SCALE * (cc - u)
+                    for cc, u in zip(cond, uncond)
+                ]
+
+            self._jit = fn
+        B, H, W, _ = images.shape
+        ctx = (jnp.zeros((B, 1, 768)) if cond_embeds is None
+               else jnp.asarray(cond_embeds))
+        t = jnp.full((B,), int(self.time_step), jnp.int32)
+        feats = self._jit(jnp.asarray(images), ctx, t,
+                          jax.random.PRNGKey(noise_seed))
+        feats = [feats[i] for i in self.multilayers]
+        h, w = H // self.patch_size, W // self.patch_size
+        if self.output == "dense":
+            feats = [resize(f.astype(jnp.float32), (h, w), mode="nearest")
+                     for f in feats]
+        else:
+            feats = [f.mean(axis=(1, 2)) for f in feats]
+        return feats[0] if len(feats) == 1 else feats

@@ -34,6 +34,8 @@ class UNetConfig:
     layers_per_block: int = 2
     cross_attention_dim: int = 1024
     head_dim: int = 64
+    # SD-1.x / LDM UNets (Zero123) fix the head COUNT instead of the width
+    num_heads: int | None = None
     norm_groups: int = 32
     dtype: Any = jnp.float32
 
@@ -87,8 +89,13 @@ class CrossAttention(nn.Module):
     def __call__(self, x, context=None):
         c = self.cfg
         ctx = x if context is None else context
-        heads = max(self.query_dim // c.head_dim, 1)
-        inner = heads * c.head_dim
+        if c.num_heads:
+            heads = c.num_heads
+            head_dim = self.query_dim // heads
+        else:
+            heads = max(self.query_dim // c.head_dim, 1)
+            head_dim = c.head_dim
+        inner = heads * head_dim
 
         q = nn.Dense(inner, use_bias=False, dtype=c.dtype, name="to_q")(x)
         k = nn.Dense(inner, use_bias=False, dtype=c.dtype, name="to_k")(ctx)
@@ -96,11 +103,11 @@ class CrossAttention(nn.Module):
 
         B, N, _ = q.shape
         M = k.shape[1]
-        q = q.reshape(B, N, heads, c.head_dim).transpose(0, 2, 1, 3)
-        k = k.reshape(B, M, heads, c.head_dim).transpose(0, 2, 1, 3)
-        v = v.reshape(B, M, heads, c.head_dim).transpose(0, 2, 1, 3)
+        q = q.reshape(B, N, heads, head_dim).transpose(0, 2, 1, 3)
+        k = k.reshape(B, M, heads, head_dim).transpose(0, 2, 1, 3)
+        v = v.reshape(B, M, heads, head_dim).transpose(0, 2, 1, 3)
 
-        scale = c.head_dim**-0.5
+        scale = head_dim**-0.5
         attn = jnp.einsum("bhqd,bhkd->bhqk", q * scale, k,
                           preferred_element_type=jnp.float32)
         attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(c.dtype)

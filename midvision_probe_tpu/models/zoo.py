@@ -819,16 +819,15 @@ def DIFT(model_id="stabilityai/stable-diffusion-2-1", time_step=1, layer=1,
                  add_norm=add_norm)
 
 
-def Zero123(**kw):
-    """reference ``zero123.py`` — SD-variant novel-view featurizer. Its
-    checkpoint packaging (pytorch-lightning + omegaconf CLIP-image-
-    conditioned SD) differs from vanilla SD; the UNet/VAE cores in
-    ``models/sd/`` cover the compute, the ckpt adapter is still pending."""
-    raise NotImplementedError(
-        "Zero123's lightning checkpoint adapter is not wired yet; the SD "
-        "UNet/VAE cores it needs live in midvision_probe_tpu/models/sd/ "
-        "(reference: evals/models/zero123.py)"
-    )
+def Zero123(time_step=1, output="dense", layer=1, return_multilayer=False,
+            add_norm=False, **kw):
+    """reference ``zero123.py`` — CLIP-image-conditioned SD featurizer with
+    guidance-combined up-block features (LDM-naming converters; weights:
+    ``$MVP_CHECKPOINT_DIR/zero123/105000.ckpt``)."""
+    from midvision_probe_tpu.models.sd.featurizer import Zero123 as _Z
+
+    return _Z(time_step=time_step, output=output, layer=layer,
+              return_multilayer=return_multilayer, add_norm=add_norm)
 
 
 SIMCLR = _resnet_wrapper("simclr_resnet50")

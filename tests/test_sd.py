@@ -350,3 +350,66 @@ def test_sd_featurizer_smoke_tiny(rng, tmp_path, monkeypatch):
     assert len(taps) == 2
     # tiny VAE halves once (2 levels): latents 16x16; up taps at 16 and 32?
     assert all(np.isfinite(np.asarray(t)).all() for t in taps)
+
+
+def test_ldm_unet_converter_matches_diffusers_naming(rng):
+    """Rename the diffusers-named tiny UNet's weights to LDM naming and
+    require both converters to produce identical trees."""
+    from midvision_probe_tpu.models.sd.convert import convert_unet_ldm
+
+    t = TTinyUNet().eval()
+    sd = t.state_dict()
+    cfg = UNetConfig(block_out_channels=(8, 16), layers_per_block=1,
+                     cross_attention_dim=12, head_dim=4, norm_groups=G)
+    ref_tree = convert_unet(sd, cfg)
+
+    block_map = {
+        "time_embedding.linear_1": "time_embed.0",
+        "time_embedding.linear_2": "time_embed.2",
+        "conv_in": "input_blocks.0.0",
+        "down_blocks.0.resnets.0": "input_blocks.1.0",
+        "down_blocks.0.attentions.0": "input_blocks.1.1",
+        "down_blocks.0.downsamplers.0.conv": "input_blocks.2.0.op",
+        "down_blocks.1.resnets.0": "input_blocks.3.0",
+        "mid_block.resnets.0": "middle_block.0",
+        "mid_block.attentions.0": "middle_block.1",
+        "mid_block.resnets.1": "middle_block.2",
+        "up_blocks.0.resnets.0": "output_blocks.0.0",
+        "up_blocks.0.resnets.1": "output_blocks.1.0",
+        "up_blocks.0.upsamplers.0.conv": "output_blocks.1.1.conv",
+        "up_blocks.1.resnets.0": "output_blocks.2.0",
+        "up_blocks.1.attentions.0": "output_blocks.2.1",
+        "up_blocks.1.resnets.1": "output_blocks.3.0",
+        "up_blocks.1.attentions.1": "output_blocks.3.1",
+    }
+    resnet_sub = {
+        "norm1": "in_layers.0", "conv1": "in_layers.2",
+        "time_emb_proj": "emb_layers.1", "norm2": "out_layers.0",
+        "conv2": "out_layers.3", "conv_shortcut": "skip_connection",
+    }
+
+    final = {}
+    for k, v in sd.items():
+        matched = None
+        for d_name, l_name in sorted(block_map.items(),
+                                     key=lambda kv: -len(kv[0])):
+            if k.startswith(d_name):
+                rest = k[len(d_name):]
+                matched = (l_name, rest)
+                break
+        assert matched, k
+        l_name, rest = matched
+        if "resnets" in k or k.startswith("mid_block.resnets"):
+            for d_sub, l_sub in resnet_sub.items():
+                rest = rest.replace(f".{d_sub}.", f".{l_sub}.")
+        final["model.diffusion_model." + l_name + rest] = v
+
+    got_tree = convert_unet_ldm(final, cfg)
+
+    import jax
+
+    ref_leaves = jax.tree_util.tree_leaves_with_path(ref_tree)
+    got = dict(jax.tree_util.tree_leaves_with_path(got_tree))
+    assert len(ref_leaves) == len(got)
+    for path, leaf in ref_leaves:
+        np.testing.assert_array_equal(got[path], leaf)
