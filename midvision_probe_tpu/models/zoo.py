@@ -383,9 +383,7 @@ def _random_init(module, size: int, example_kw: dict | None = None) -> dict:
     with jax.default_device(cpu):
         rng = jax.random.PRNGKey(0)
         dummy = jnp.zeros((1, size, size, 3), jnp.float32)
-        variables = jax.jit(
-            functools.partial(module.init, **kw), backend="cpu"
-        )(rng, dummy)
+        variables = jax.jit(functools.partial(module.init, **kw))(rng, dummy)
     variables = jax.tree_util.tree_map(np.asarray, variables)
     _RANDOM_INIT_CACHE[cache_key] = variables
     return variables
