@@ -86,14 +86,27 @@ def _flash_attention(q, k, v, scale: float):
 
 def multi_head_attention(q, k, v, bias=None, scale: float = 1.0,
                          use_flash: bool | None = None):
-    """Dispatch fused vs einsum attention. All inputs (B, H, N, d)."""
+    """Dispatch fused vs einsum attention. All inputs (B, H, N, d).
+
+    TPU + no bias + long-enough sequence → the single-pass ViT kernel
+    (``ops/vit_attention.py``, fastest at probing scales); ``use_flash=True``
+    forces the generic jax flash kernel instead (online softmax — needed
+    only when K/V no longer fit VMEM, i.e. N >> 4k)."""
     if use_flash is None:
-        use_flash = (
+        on_tpu = (
             jax.default_backend() == "tpu"
             and bias is None
             and q.shape[2] >= _MIN_FLASH_SEQ
             and q.shape[-1] <= 256
         )
+        if on_tpu:
+            kv_bytes = q.shape[2] * q.shape[-1] * q.dtype.itemsize * 2
+            if kv_bytes <= 2 * 1024 * 1024:  # K+V resident in VMEM
+                from midvision_probe_tpu.ops.vit_attention import vit_attention
+
+                return vit_attention(q, k, v, float(scale))
+            return _flash_attention(q, k, v, float(scale))
+        return _einsum_attention(q, k, v, bias, scale)
     if use_flash:
         return _flash_attention(q, k, v, float(scale))
     return _einsum_attention(q, k, v, bias, scale)
