@@ -20,11 +20,21 @@ Prints ONE JSON line.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# persistent XLA compile cache: first run pays ~2-3 min of (tunnelled)
+# compiles, repeats start in seconds
+os.makedirs("/tmp/mvp_jax_cache", exist_ok=True)
+try:
+    jax.config.update("jax_compilation_cache_dir", "/tmp/mvp_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
 
 BASELINE_IMGS_PER_SEC = 250.0
 
