@@ -1,13 +1,16 @@
 #!/usr/bin/env python
 """Export golden torch activations for converter validation (SURVEY §4b).
 
-For each checkpoint present under ``$MVP_CHECKPOINT_DIR``, run the *raw
-torch state_dict* through a minimal torch forward (per source layout) on a
-fixed input and save input/output NPZs. ``verify`` mode then compares this
-repo's converted Flax forward against the stored goldens at <= 1e-3.
+For each checkpoint present under ``$MVP_CHECKPOINT_DIR``, load the *raw
+on-disk file*, unwrap the trunk, run it through an independent torch forward
+(full-size replicas in ``torch_replicas.py``, or ``transformers.ViTModel``
+for the HF layout) on a fixed input, and save input/output NPZs. ``verify``
+mode then compares this repo's converted Flax forward against the stored
+goldens.
 
-This replaces the reference's eyeball-the-notebook porting validation with
-a reproducible artifact. Torch here is CPU-only and used as an oracle.
+This replaces the reference's eyeball-the-notebook porting validation
+(``evals/models/models_jupyter_notebook/``) with a reproducible artifact.
+Torch here is CPU-only and used as an oracle.
 
 Usage:
     python data_processing/export_golden.py export --out goldens/
@@ -22,54 +25,117 @@ import sys
 
 import numpy as np
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(
+    0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+# families with a full-size independent torch forward available.
+# grid/size: golden forward resolution (grid*patch); taps: ViT-B multilayers.
+VIT_GOLDENS = {
+    "dino_vitb16": dict(kind="timm"),
+    "ibot_vitb16": dict(kind="timm"),
+    "eva_vitb16": dict(kind="timm"),
+    "mocov3_vitb16": dict(kind="timm"),
+    "croco_vitb16": dict(kind="timm", class_token=False, sincos=True),
+    "mae_vitb16": dict(kind="hf"),
+}
+VIT_TAPS = (2, 5, 8, 11)  # default_vit_multilayers(12), dino.py:51-57
+
 
 def _fixed_input(size: int) -> np.ndarray:
     rng = np.random.RandomState(1234)
     return rng.randn(1, 3, size, size).astype(np.float32)
 
 
-def export(out_dir: str) -> int:
-    """Torch-side golden export (requires the family's torch modeling code;
-    ViT families use the replica modules from the test suite — the same
-    structures validated against timm/HF in tests/test_convert*.py are
-    instantiated at full size and loaded with the real state_dict)."""
+def _tokens_to_dense(tokens: np.ndarray, n_prefix: int, grid: int) -> np.ndarray:
+    """(B, n_prefix+g*g, C) tokens -> (B, C, g, g) dense map."""
+    b, _, c = tokens.shape
+    return (tokens[:, n_prefix:]
+            .reshape(b, grid, grid, c).transpose(0, 3, 1, 2))
+
+
+def _torch_vit_taps(name, spec, trunk_sd, x):
+    """Independent torch forward at the tapped blocks; returns dense maps."""
     import torch
 
-    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
+    from torch_replicas import TimmViT, sincos2d_pos_embed
+
+    if spec["kind"] == "hf":
+        import transformers
+
+        cfg = transformers.ViTConfig(
+            hidden_size=768, num_hidden_layers=12, num_attention_heads=12,
+            intermediate_size=3072, image_size=224, patch_size=16,
+            layer_norm_eps=1e-12, hidden_act="gelu",
+        )
+        hf = transformers.ViTModel(cfg, add_pooling_layer=False).eval()
+        # the 'vit.' prefix lives in the raw file (ViTMAEForPreTraining
+        # layout); zoo strips it converter-side via entry.prefix
+        hf.load_state_dict({k[len("vit."):]: v for k, v in trunk_sd.items()
+                            if k.startswith("vit.")})
+        with torch.no_grad():
+            out = hf(torch.from_numpy(x), output_hidden_states=True)
+        return [_tokens_to_dense(out.hidden_states[i + 1].numpy(), 1, 14)
+                for i in VIT_TAPS]
+
+    cls = spec.get("class_token", True)
+    t = TimmViT(dim=768, depth=12, heads=12, patch=16, grid=14,
+                class_token=cls).eval()
+    missing, unexpected = t.load_state_dict(trunk_sd, strict=False)
+    allowed_missing = {"pos_embed"} if spec.get("sincos") else set()
+    assert set(missing) <= allowed_missing, f"{name}: missing {missing}"
+    assert all(k.startswith(("head.",)) for k in unexpected), (
+        f"{name}: unexpected {unexpected}")
+    if spec.get("sincos"):
+        t.pos_embed.data = sincos2d_pos_embed(768, 14, cls_row=cls)
+    with torch.no_grad():
+        taps = t(torch.from_numpy(x))
+    return [_tokens_to_dense(taps[i].numpy(), 1 if cls else 0, 14)
+            for i in VIT_TAPS]
+
+
+def export(out_dir: str) -> int:
+    import torch
+
+    from torch_replicas import TorchResNet50
+
     from midvision_probe_tpu.models import zoo
     from midvision_probe_tpu.models.convert.remap import unwrap_checkpoint
 
     os.makedirs(out_dir, exist_ok=True)
     n = 0
     for name, entry in sorted(zoo.ZOO.items()):
-        if entry.arch != "resnet" or name.startswith("test_"):
-            continue  # torch replica available at full size: R50 only (v1)
+        if name.startswith("test_"):
+            continue
+        if entry.arch != "resnet" and name not in VIT_GOLDENS:
+            continue
         path = os.path.join(zoo.checkpoint_dir(), entry.filename)
         if not os.path.exists(path):
             continue
-        from test_convert import _TorchResNet50  # noqa: E402
-
         sd = unwrap_checkpoint(
             torch.load(path, map_location="cpu", weights_only=False),
             entry.source,
         )
-        t = _TorchResNet50()
-        t.load_state_dict(sd)
-        t.eval()
         x = _fixed_input(224)
-        with torch.no_grad():
-            taps = [o.numpy() for o in t(torch.from_numpy(x))]
+        if entry.arch == "resnet":
+            t = TorchResNet50()
+            t.load_state_dict(sd)
+            t.eval()
+            with torch.no_grad():
+                taps = [o.numpy() for o in t(torch.from_numpy(x))]
+        else:
+            taps = _torch_vit_taps(name, VIT_GOLDENS[name], sd, x)
         np.savez_compressed(
             os.path.join(out_dir, f"{name}.npz"),
             input=x, **{f"tap_{i}": o for i, o in enumerate(taps)},
         )
-        print(f"[golden] {name}")
+        print(f"[golden] {name}: {len(taps)} taps from {entry.filename}")
         n += 1
     print(f"exported {n} goldens to {out_dir}")
     return 0
 
 
-def verify(golden_dir: str, atol: float = 1e-3) -> int:
+def verify(golden_dir: str, atol: float = 2e-3) -> int:
     import jax.numpy as jnp
 
     from midvision_probe_tpu.models import zoo
@@ -80,7 +146,11 @@ def verify(golden_dir: str, atol: float = 1e-3) -> int:
             continue
         name = f[:-4]
         data = np.load(os.path.join(golden_dir, f))
-        m = zoo.build_resnet_extractor(name, return_multilayer=True)
+        if zoo.ZOO[name].arch == "resnet":
+            m = zoo.build_resnet_extractor(name, return_multilayer=True)
+        else:
+            m = zoo.build_vit_extractor(name, return_multilayer=True,
+                                        init_size=224)
         x = data["input"].transpose(0, 2, 3, 1)
         outs = m(jnp.asarray(x))
         for i, out in enumerate(outs):
@@ -91,6 +161,8 @@ def verify(golden_dir: str, atol: float = 1e-3) -> int:
             print(f"[{status}] {name} tap {i}: max err {err:.2e}")
             if err > atol:
                 failures.append((name, i, err))
+    if failures:
+        print(f"{len(failures)} FAILURES")
     return 1 if failures else 0
 
 

@@ -1,0 +1,99 @@
+#!/usr/bin/env python
+"""Fabricate genuine source-layout checkpoint files for conversion testing.
+
+This environment has zero egress, so the real pretrained weights cannot be
+downloaded; what CAN be validated end-to-end is the entire checkpoint
+plumbing — on-disk packaging -> ``unwrap_checkpoint`` -> converter -> Flax
+forward — against files whose **layout byte-for-byte matches the real
+sources** (container nesting, key naming, head/decoder junk that must be
+dropped). Weights are deterministic trunc-normal; golden activations come
+from independent torch forwards (``export_golden.py``).
+
+One file per ``unwrap_checkpoint`` branch (convert/remap.py:60-114):
+  raw         dino_vitb16.pth          flat timm naming (hub layout)
+  state_dict  ibot_vitb16.pth          {'state_dict': timm} container
+  vissl       simclr_resnet50.torch    classy_state_dict nesting
+  mocov2      mocov2_resnet50.pth.tar  module.encoder_q. prefix + fc head
+  mocov3      mocov3_vitb16.pth.tar    base/momentum/predictor triple
+  mmselfsup   eva_vitb16.pth           backbone. prefix + mmcls naming
+  hf          mae_vitb16.bin           vit. prefix, split q/k/v, sincos pos
+  croco       CroCo.pth                {'model': {enc_blocks...}} + decoder
+
+Usage:
+    MVP_CHECKPOINT_DIR=checkpoints python data_processing/make_source_layout_checkpoints.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import torch
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+from torch_replicas import (  # noqa: E402
+    TimmViT,
+    TorchResNet50,
+    sincos2d_pos_embed,
+    timm_to_hf_mae,
+    timm_to_mmselfsup,
+    wrap_croco,
+    wrap_mocov2,
+    wrap_mocov3_vit,
+    wrap_vissl,
+)
+
+
+def _vitb(seed, **kw):
+    return TimmViT(dim=768, depth=12, heads=12, patch=16, grid=14,
+                   seed=seed, **kw).state_dict()
+
+
+def build_all() -> dict[str, object]:
+    """filename -> torch-saveable object, all layouts genuine."""
+    out = {}
+
+    # raw flat timm (facebookresearch/dino hub file stores the plain sd)
+    out["dino_vitb16.pth"] = _vitb(seed=1)
+
+    # {'state_dict': ...} container (bytedance iBOT checkpoint_teacher.pth)
+    sd = _vitb(seed=2)
+    sd["head.mlp.0.weight"] = torch.zeros(2048, 768)  # DINO-head junk
+    out["ibot_vitb16.pth"] = {"state_dict": sd, "epoch": 1000}
+
+    # MoCo v3 ViT triple-encoder container
+    out["mocov3_vitb16.pth.tar"] = wrap_mocov3_vit(_vitb(seed=3))
+
+    # mmselfsup (EVA) — mmcls naming under backbone.
+    out["eva_vitb16.pth"] = timm_to_mmselfsup(_vitb(seed=4))
+
+    # HF ViTMAE — vit. prefix, split qkv, stored sincos pos table
+    mae_sd = _vitb(seed=5, eps=1e-12)
+    mae_sd["pos_embed"] = sincos2d_pos_embed(768, 14, cls_row=True)
+    out["mae_vitb16.bin"] = timm_to_hf_mae(mae_sd)
+
+    # NAVER CroCo v1 — enc_blocks/enc_norm under 'model', no cls token,
+    # runtime sincos pos embed (not stored)
+    out["CroCo.pth"] = wrap_croco(_vitb(seed=6, class_token=False))
+
+    # VISSL .torch (SimCLR) + MoCo v2 containers around a torchvision R50
+    out["simclr_resnet50.torch"] = wrap_vissl(TorchResNet50(seed=7).state_dict())
+    out["mocov2_resnet50.pth.tar"] = wrap_mocov2(
+        TorchResNet50(seed=8).state_dict())
+    return out
+
+
+def main():
+    ckpt_dir = os.environ.get("MVP_CHECKPOINT_DIR", "checkpoints")
+    os.makedirs(ckpt_dir, exist_ok=True)
+    for fname, obj in build_all().items():
+        path = os.path.join(ckpt_dir, fname)
+        torch.save(obj, path)
+        print(f"[fabricated] {path} ({os.path.getsize(path) / 1e6:.0f} MB)")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
