@@ -22,6 +22,7 @@ import os
 import subprocess
 import sys
 import time
+from concurrent.futures import ThreadPoolExecutor
 
 # reference launch_depth.py:22-51
 DEFAULT_MODELS = [
@@ -57,33 +58,54 @@ def main(argv=None):
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--log-dir", default="logs")
     ap.add_argument("--dry-run", action="store_true")
+    ap.add_argument("--parallel", type=int, default=1, metavar="N",
+                    help="run N driver subprocesses concurrently (use >1 on "
+                         "CPU or when the chip is shared via cached "
+                         "features; one TPU chip serializes compute anyway)")
+    ap.add_argument("--no-fast", action="store_true",
+                    help="disable the fast-suite defaults "
+                         "(system.cache_features + bfloat16 backbone)")
     args = ap.parse_args(argv)
 
     models = args.models or DEFAULT_MODELS
     driver = DRIVERS[args.task]
     os.makedirs(os.path.join(args.log_dir, args.task), exist_ok=True)
 
-    failures = []
-    for model in models:
+    def run_one(model: str):
         overrides = [f"backbone={model}"]
         if args.task in ("depth", "snorm", "taskonomy"):
             overrides += ["+backbone.return_multilayer=True",
                           f"system.random_seed={args.seed}"]
+            if not args.no_fast:
+                # the <1 hr suite levers (BASELINE.md): extract frozen
+                # features once per epoch-0 batch and reuse; bf16 backbone
+                overrides += ["system.cache_features=true",
+                              "system.backbone_dtype=bfloat16"]
         overrides += list(args.extra)
         cmd = [sys.executable, driver] + overrides
         log_path = os.path.join(args.log_dir, args.task, f"{model}.log")
         print(f"[sweep] {' '.join(cmd)} -> {log_path}", flush=True)
         if args.dry_run:
-            continue
+            return model, 0, 0.0
         t0 = time.time()
         with open(log_path, "w") as log:
             ret = subprocess.call(cmd, stdout=log, stderr=subprocess.STDOUT)
+        dt = time.time() - t0
         status = "ok" if ret == 0 else f"FAILED ({ret})"
-        print(f"[sweep] {model}: {status} in {time.time() - t0:.0f}s",
-              flush=True)
-        if ret != 0:
-            failures.append(model)
+        print(f"[sweep] {model}: {status} in {dt:.0f}s", flush=True)
+        return model, ret, dt
 
+    t_suite = time.time()
+    if args.parallel > 1:
+        with ThreadPoolExecutor(max_workers=args.parallel) as pool:
+            results = list(pool.map(run_one, models))
+    else:
+        results = [run_one(m) for m in models]
+
+    failures = [m for m, ret, _ in results if ret != 0]
+    if not args.dry_run:
+        print(f"[sweep] suite wall-clock: {time.time() - t_suite:.0f}s "
+              f"({len(models)} models, parallel={args.parallel})")
     if failures:
         print(f"[sweep] {len(failures)} failures: {failures}")
         return 1

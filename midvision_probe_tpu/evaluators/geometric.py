@@ -59,7 +59,9 @@ def scannet_batch_errors(
     ``render_scannet_correspondence.py:188-230``).
 
     depth_0/1: (B, H, W); K: (B, 3, 3); Rt_01: (B, 4, 4).
-    Returns (err_3d (B, N), err_2d (B, N))."""
+    Returns (err_3d (B, N), err_2d (B, N), uv_0in0 (B, N, 2), uv_1in1
+    (B, N, 2)) — the uv points feed the qualitative pair renders
+    (``render_scannet_correspondence.py:224-240``)."""
 
     def one(f0, f1, d0, d1, Ki, Rt):
         c_xyz0, c_xyz1, w = estimate_correspondence_depth(
@@ -67,9 +69,10 @@ def scannet_batch_errors(
         )
         c_xyz0in1 = transform_points_Rt(c_xyz0, Rt[:3, :4])
         err3d = jnp.linalg.norm(c_xyz0in1 - c_xyz1, axis=-1)
+        uv0in0 = project_3dto2d(c_xyz0, Ki)
         uv1 = project_3dto2d(c_xyz1, Ki)
         uv0in1 = project_3dto2d(c_xyz0in1, Ki)
         err2d = jnp.linalg.norm(uv0in1 - uv1, axis=-1)
-        return err3d, err2d
+        return err3d, err2d, uv0in0, uv1
 
     return jax.vmap(one)(feats_0, feats_1, depth_0, depth_1, K, Rt_01)

@@ -41,7 +41,14 @@ def run(cfg, dataset=None):
     loader = Loader(dataset, cfg.get("batch_pairs", 4))
 
     sf = cfg.scale_factor
+    render_every = int(cfg.get("render_every", 10))  # ref: i % 10 == 0
+    render_dir = os.path.join(
+        cfg.output_dir,
+        f"scannet_correspondence_{datetime.now().strftime('%Y%m%d_%H%M%S')}",
+        str(model.checkpoint_name),
+    ) if render_every > 0 else None
     err_3d, err_2d, rel_ang = [], [], []
+    seen = 0
     for batch in loader:
         f0 = feature_fn(jnp.asarray(batch["rgb_0"]))
         f1 = feature_fn(jnp.asarray(batch["rgb_1"]))
@@ -55,16 +62,40 @@ def run(cfg, dataset=None):
         K[:, :2, :] *= sf
 
         Rt_01 = np.asarray(batch["Rt_1"], np.float32)
-        e3, e2 = scannet_batch_errors(
+        e3, e2, uv0, uv1 = scannet_batch_errors(
             f0, f1, jnp.asarray(d0), jnp.asarray(d1), jnp.asarray(K),
             jnp.asarray(Rt_01), num_corr=cfg.num_corr, use_pallas=None,
         )
-        err_3d.append(np.asarray(e3))
-        # reference reports 2D error in downscaled-pixel units for recall
-        err_2d.append(np.asarray(e2))
-        rel_ang.append(np.degrees(np.asarray(
+        e3, e2 = np.asarray(e3), np.asarray(e2)
+        ang = np.degrees(np.asarray(
             so3_rotation_angle(jnp.asarray(Rt_01[:, :3, :3]))
-        )))
+        ))
+        err_3d.append(e3)
+        # reference reports 2D error in downscaled-pixel units for recall
+        err_2d.append(e2)
+        rel_ang.append(ang)
+
+        # qualitative pair renders, every `render_every`-th instance
+        # (reference render_scannet_correspondence.py:224-245)
+        if render_dir is not None:
+            from midvision_probe_tpu.utils.reporting import (
+                save_correspondence_json,
+                visualize_and_save_correspondences,
+            )
+
+            for b in range(e3.shape[0]):
+                idx = seen + b
+                if idx % render_every:
+                    continue
+                inst_dir = os.path.join(render_dir, f"instance_{idx}")
+                visualize_and_save_correspondences(
+                    np.asarray(batch["rgb_0"][b]),
+                    np.asarray(batch["rgb_1"][b]),
+                    np.asarray(uv0[b]) / sf, np.asarray(uv1[b]) / sf,
+                    e2[b], inst_dir,
+                )
+                save_correspondence_json(e2[b], e3[b], ang[b], inst_dir)
+        seen += e3.shape[0]
 
     err_3d = np.concatenate(err_3d)
     err_2d = np.concatenate(err_2d)

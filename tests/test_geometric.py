@@ -60,13 +60,15 @@ def test_scannet_identity_pair(rng):
     K = np.array([[25.0, 0, 10], [0, 25.0, 8], [0, 0, 1]], np.float32)[None]
     Rt = np.eye(4, dtype=np.float32)[None]
 
-    e3, e2 = scannet_batch_errors(
+    e3, e2, uv0, uv1 = scannet_batch_errors(
         jnp.asarray(feats), jnp.asarray(feats), jnp.asarray(depth),
         jnp.asarray(depth), jnp.asarray(K), jnp.asarray(Rt),
         num_corr=40, use_pallas=False,
     )
     assert np.asarray(e3).max() < 1e-4
     assert np.asarray(e2).max() < 1e-2
+    # identity pair: matched uv points coincide
+    np.testing.assert_allclose(np.asarray(uv0), np.asarray(uv1), atol=1e-2)
 
 
 def test_scannet_driver_with_fake_dataset(tmp_path, rng):

@@ -97,16 +97,52 @@ def run(cfg):
         sa["d1"].mean(), sa["rmse"].mean(), si["d1"].mean(), si["rmse"].mean(),
     )
 
-    # per-segment d1 table (reference train_depth.py:323-355 analog)
+    # ---------------------------------------------------------- artifacts
+    from midvision_probe_tpu.utils.reporting import (
+        log_first_batch_images,
+        plot_segment_area_vs_d1,
+        save_images_to_png,
+    )
+
+    render_images = bool(cfg.get("render_images", True))
+    is_navi = getattr(train_loader.dataset, "name", "") .startswith("navi")
+
+    def predict_resized(batch):
+        pred = trainer.predict(batch)
+        return resize(pred, batch["depth"].shape[1:3], mode="bilinear")
+
+    if render_images:
+        # first-batch wandb image panels (reference train_depth.py:174-208)
+        log_first_batch_images(
+            predict_resized, test_loader, wandb,
+            save_dir=os.path.join(exp_dir, "val_images"),
+            task="depth", is_navi=is_navi,
+        )
+
+    # per-segment d1 over the FULL validation set + first-6-batch PNG/JSON
+    # dumps (reference train_depth.py:323-355, 443-459)
     seg_rows = []
     for i, batch in enumerate(test_loader):
-        if i >= 2 or "segmentation" not in batch:
+        has_seg = "segmentation" in batch
+        if not has_seg and not (render_images and i < 6):
             break
-        pred = trainer.predict(batch)
-        pred_r = resize(pred, batch["depth"].shape[1:3], mode="bilinear")
-        seg_rows += segment_metrics_depth(
-            np.asarray(pred_r), batch["depth"], batch["segmentation"]
-        )
+        pred_r = np.asarray(predict_resized(batch))
+        if has_seg:
+            seg_rows += segment_metrics_depth(
+                pred_r, batch["depth"], batch["segmentation"]
+            )
+        if render_images and i < 6:
+            save_images_to_png(
+                pred_r, batch["depth"], batch.get("segmentation"),
+                batch_idx=i, task="depth",
+                save_dir=os.path.join(exp_dir, "val_images"),
+                is_navi=is_navi,
+            )
+    if seg_rows:
+        plot = plot_segment_area_vs_d1(
+            seg_rows, output_dir=os.path.join(exp_dir, "plots"))
+        logger.info("segment-area scatter: %s (%d segments)",
+                    plot, len(seg_rows))
 
     row = {}
     row.update({f"sa_{k}": float(np.mean(v)) for k, v in sa.items()})

@@ -92,14 +92,28 @@ def run(cfg):
         res["d1"].mean(), res["d2"].mean(), res["d3"].mean(), res["rmse"].mean(),
     )
 
-    seg_rows = []
-    for i, batch in enumerate(test_loader):
-        if i >= 2 or "segmentation" not in batch:
-            break
+    # ---------------------------------------------------------- artifacts
+    from midvision_probe_tpu.utils.reporting import log_first_batch_images
+
+    def predict_resized(batch):
         pred = trainer.predict(batch)
-        pred_r = resize(pred, batch["snorm"].shape[1:3], mode="bicubic")
+        return resize(pred, batch["snorm"].shape[1:3], mode="bicubic")
+
+    if bool(cfg.get("render_images", True)):
+        # first-batch wandb/normal-map panels (train_depth.py:174-208 analog)
+        log_first_batch_images(
+            predict_resized, test_loader, wandb,
+            save_dir=os.path.join(exp_dir, "val_images"), task="snorm",
+        )
+
+    # per-segment stats over the FULL validation set (metrics.py:323-355)
+    seg_rows = []
+    for batch in test_loader:
+        if "segmentation" not in batch:
+            break
         seg_rows += segment_metrics_snorm(
-            np.asarray(pred_r), batch["snorm"], batch["segmentation"]
+            np.asarray(predict_resized(batch)), batch["snorm"],
+            batch["segmentation"]
         )
 
     row = {k: float(np.mean(v)) for k, v in res.items()}
