@@ -12,7 +12,13 @@ the probe trainers consume it.
 250 imgs/sec for the torch fp32 single-GPU pipeline (the reference repo
 publishes no benchmark numbers — BASELINE.json ``"published": {}``; 250 is a
 generous estimate for ViT-B/16 @ 480x640 fp32 with per-layer hooks on the
-reference's 2-GPU-per-node hardware class, ~120 GFLOPs/img forward).
+reference's 2-GPU-per-node hardware class).
+
+FLOP accounting (for MFU): ViT-B/16 @ 480x640 → N = 30*40+1 = 1201 tokens;
+per layer 2*N*D²*12 (qkv+proj+mlp) + 4*N²*D (attention) ≈ 21.4 GF, x12
+layers ≈ 257 GF/img. 373 imgs/s → ~96 TF/s ≈ 49% MFU on v5e (197 TF/s bf16
+peak); the residual gap is the VPU-bound softmax at head_dim 64 plus the
+GELU/LayerNorm bandwidth passes.
 
 Prints ONE JSON line.
 """

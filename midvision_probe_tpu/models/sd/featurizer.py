@@ -100,13 +100,23 @@ class SDFeaturizer:
         )
 
     def encode_prompt(self, prompts: list[str]) -> jnp.ndarray:
-        """Tokenize (local tokenizer) + text-encode (``dift_sd.py:218-262``)."""
-        from transformers import CLIPTokenizer
+        """Tokenize + text-encode (``dift_sd.py:218-262``).
+
+        Tokenization is self-contained (``sd/tokenizer.py`` CLIP BPE) from
+        the vocab/merges files every SD checkpoint ships in ``tokenizer/``;
+        the openai single-file ``bpe_simple_vocab_16e6.txt.gz`` also works."""
+        from midvision_probe_tpu.models.sd.tokenizer import CLIPTokenizer
 
         tok_dir = os.path.join(self._ckpt_dir(), "tokenizer")
-        tokenizer = CLIPTokenizer.from_pretrained(tok_dir)
-        ids = tokenizer(prompts, padding="max_length", max_length=77,
-                        truncation=True, return_tensors="np").input_ids
+        gz = os.path.join(self._ckpt_dir(), "bpe_simple_vocab_16e6.txt.gz")
+        if os.path.exists(os.path.join(tok_dir, "vocab.json")):
+            tokenizer = CLIPTokenizer.from_dir(tok_dir)
+        elif os.path.exists(gz):
+            tokenizer = CLIPTokenizer.from_gzip(gz)
+        else:
+            raise FileNotFoundError(
+                f"no tokenizer files under {tok_dir} or {gz}")
+        ids = tokenizer(prompts)
         return self.text.apply(self.text_vars, jnp.asarray(ids))
 
     def __call__(self, images, prompt_embeds, t=1, up_ft_indices=(0, 1, 2, 3),
@@ -199,9 +209,13 @@ class Zero123:
     (``zero123.py:41-109``): up-block features are extracted for both the
     conditioned and unconditioned pass and combined with guidance scale 3.
 
-    The CLIP-image conditioning embedding (B, 1, 768) can be passed in
-    (produced e.g. by the ``clip_vitl14`` extractor + the checkpoint's
-    cc_projection); without it the unconditioned features are returned.
+    Conditioning is self-contained (reference ``zero123.py:41-56``): the
+    checkpoint's own CLIP ViT-L/14 image tower (``cond_stage_model.model.
+    visual.*``, open_clip naming) embeds the input view, the relative-pose
+    vector T = [pitch, sin(azim), cos(azim), radius] (identity view →
+    [0, 0, 1, 0]) is concatenated, and ``cc_projection`` (Linear 772→768)
+    produces the cross-attention context. A precomputed embedding can still
+    be passed to ``__call__`` to override.
     """
 
     GUIDANCE_SCALE = 3.0
@@ -249,11 +263,13 @@ class Zero123:
         path = os.path.join(checkpoint_dir(), "zero123", "105000.ckpt")
         cpu = jax.devices("cpu")[0]
         rng = jax.random.PRNGKey(0)
+        self.clip_vars = self.clip_proj = self.cc_proj = None
         if os.path.exists(path):
             sd = torch.load(path, map_location="cpu",
                             weights_only=False)["state_dict"]
             self.unet_vars = convert_unet_ldm(sd, self.unet_cfg)
             self.vae_vars = convert_vae_encoder_ldm(sd, self.vae_cfg)
+            self._load_conditioning(sd)
         else:
             log.warning("zero123 checkpoint missing under %s — random init",
                         path)
@@ -263,6 +279,74 @@ class Zero123:
                     jnp.zeros((1, 1, 768)),
                 )
                 self.vae_vars = self.vae.init(rng, jnp.zeros((1, 64, 64, 3)))
+
+    def _load_conditioning(self, sd) -> None:
+        """CLIP image tower + cc_projection from the lightning state_dict
+        (reference ``zero123.py:48-56``; FrozenCLIPImageEmbedder holds the
+        OpenAI CLIP ViT-L/14 visual under ``cond_stage_model.model.``)."""
+        import numpy as np
+
+        from midvision_probe_tpu.models.convert.clip_convert import (
+            convert_vit_openclip,
+        )
+        from midvision_probe_tpu.models.vit import ViT, ViTConfig
+
+        pre = "cond_stage_model.model."
+        if f"{pre}visual.proj" not in sd:
+            log.warning("zero123 ckpt lacks cond_stage_model — conditioning "
+                        "must be passed in")
+            return
+        # infer tower dims from the weights (ViT-L/14 in the real ckpt)
+        conv1 = sd[f"{pre}visual.conv1.weight"]
+        width, patch = conv1.shape[0], conv1.shape[-1]
+        depth = 1 + max(
+            int(k[len(pre):].split(".")[3]) for k in sd
+            if k.startswith(f"{pre}visual.transformer.resblocks.")
+        )
+        self.clip_cfg = ViTConfig(
+            patch_size=patch, width=width, depth=depth,
+            num_heads=max(width // 64, 1),
+            pre_norm=True, patch_bias=False, act="quickgelu",
+            layernorm_eps=1e-5, final_norm=True,
+        )
+        self.clip = ViT(self.clip_cfg)
+        self.clip_vars = convert_vit_openclip(
+            sd, self.clip_cfg, prefix=f"{pre}visual.")
+        to_np = lambda t: np.asarray(  # noqa: E731
+            t.detach().cpu().numpy() if hasattr(t, "detach") else t,
+            np.float32)
+        self.clip_proj = jnp.asarray(to_np(sd[f"{pre}visual.proj"]))
+        self.cc_proj = (
+            jnp.asarray(to_np(sd["cc_projection.weight"])).T,
+            jnp.asarray(to_np(sd["cc_projection.bias"])),
+        )
+
+    def cond_embedding(self, images, T=None) -> jnp.ndarray:
+        """images (B, H, W, 3) in [-1, 1] → cc-projected context (B, 1, 768)
+        (reference ``zero123.py:48-56``; identity view T = [0, 0, 1, 0])."""
+        from midvision_probe_tpu.models.zoo import (
+            OPENAI_CLIP_MEAN,
+            OPENAI_CLIP_STD,
+        )
+        from midvision_probe_tpu.ops.image import resize
+
+        assert self.clip_vars is not None, "conditioning weights not loaded"
+        # FrozenCLIPImageEmbedder preprocess: bicubic 224 (align_corners,
+        # antialias), [-1,1] -> [0,1], CLIP normalize
+        x = resize(jnp.asarray(images), (224, 224), mode="bicubic",
+                   align_corners=True, antialias=True)
+        x = (x + 1.0) / 2.0
+        x = (x - jnp.asarray(OPENAI_CLIP_MEAN)) / jnp.asarray(OPENAI_CLIP_STD)
+        res = self.clip.apply(self.clip_vars, x,
+                              taps=(self.clip_cfg.depth - 1,))
+        emb = res["tokens"][0][:, 0] @ self.clip_proj  # ln_post(cls) @ proj
+        B = emb.shape[0]
+        if T is None:
+            T = jnp.asarray([0.0, 0.0, 1.0, 0.0])
+        T = jnp.broadcast_to(jnp.asarray(T)[None], (B, 4))
+        c = jnp.concatenate([emb, T], axis=-1)[:, None]  # (B, 1, 772)
+        w, b = self.cc_proj
+        return c @ w + b
 
     def __call__(self, images, cond_embeds=None, noise_seed=0):
         """images (B, H, W, 3) in [-1, 1]; cond_embeds optional (B, 1, 768)."""
@@ -279,9 +363,13 @@ class Zero123:
                 noisy = (jnp.sqrt(a)[:, None, None, None] * latents
                          + jnp.sqrt(1 - a)[:, None, None, None] * noise)
                 x = jnp.concatenate([noisy, latents], axis=-1)
+                # unconditioned branch zeroes BOTH the cross-attention
+                # context and the concat latents (zero123.py:64-67)
+                x_uc = jnp.concatenate([noisy, jnp.zeros_like(latents)],
+                                       axis=-1)
                 cond = self.unet.apply(self.unet_vars, x, t, ctx)["up_ft"]
                 uncond = self.unet.apply(
-                    self.unet_vars, x, t, jnp.zeros_like(ctx)
+                    self.unet_vars, x_uc, t, jnp.zeros_like(ctx)
                 )["up_ft"]
                 return [
                     u + self.GUIDANCE_SCALE * (cc - u)
@@ -290,8 +378,12 @@ class Zero123:
 
             self._jit = fn
         B, H, W, _ = images.shape
-        ctx = (jnp.zeros((B, 1, 768)) if cond_embeds is None
-               else jnp.asarray(cond_embeds))
+        if cond_embeds is not None:
+            ctx = jnp.asarray(cond_embeds)
+        elif self.clip_vars is not None:
+            ctx = self.cond_embedding(images)
+        else:
+            ctx = jnp.zeros((B, 1, 768))
         t = jnp.full((B,), int(self.time_step), jnp.int32)
         feats = self._jit(jnp.asarray(images), ctx, t,
                           jax.random.PRNGKey(noise_seed))

@@ -171,8 +171,29 @@ class Attention(nn.Module):
 
         # expose raw q/k/v for the reference's return_kqv path
         # (``dino.py:82-138``); materialized only when callers request the
-        # 'intermediates' collection
+        # 'intermediates' collection (XLA DCEs these transposes otherwise)
         self.sow("intermediates", "qkv_heads", (q, k, v))
+
+        scale = c.head_dim**-0.5
+        use_fused = (
+            not (c.rope and pos_2d is not None)
+            and not c.rel_pos_bias
+            and jax.default_backend() == "tpu"
+            and N >= 256
+            and 128 % c.head_dim == 0
+            and (c.num_heads * c.head_dim) % 128 == 0
+            and N * c.head_dim * 4 <= 2 * 1024 * 1024  # K+V resident in VMEM
+        )
+        if use_fused:
+            # hot path: the single-pass kernel reads q/k/v straight from the
+            # (B, N, 3, H, d) projection output and writes token-major — the
+            # four (B, H, N, d) HBM transposes above never materialize
+            from midvision_probe_tpu.ops.vit_attention import (
+                fused_qkv_attention,
+            )
+
+            out = fused_qkv_attention(qkv, scale).reshape(B, N, C)
+            return nn.Dense(C, dtype=c.dtype, name="proj")(out)
 
         if c.rope and pos_2d is not None:
             # rotate patch tokens only; prefix tokens are left untouched
@@ -184,7 +205,6 @@ class Attention(nn.Module):
             q = jnp.concatenate([q[:, :, :p], q_pat], axis=2)
             k = jnp.concatenate([k[:, :, :p], k_pat], axis=2)
 
-        scale = c.head_dim**-0.5
         bias = None
         if c.rel_pos_bias and grid_hw is not None:
             h, w = grid_hw

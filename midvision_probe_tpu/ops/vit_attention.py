@@ -5,8 +5,25 @@ At probing resolutions the whole K/V of one (batch, head) fits in VMEM
 of generic flash attention is unnecessary: one q-tile kernel computes the
 full row softmax in a single pass — no running-max corrections, no inner KV
 loop. head_dim stays unpadded (Mosaic handles lane=64; padding to 128 was
-measured to double the matmul cost). Measured 34 TF/s at (64, 12, 1280, 64)
-on v5e vs 31.3 for the tuned flash kernel and 14.6 for einsum.
+measured to double the matmul cost).
+
+Two entry points:
+
+* ``fused_qkv_attention`` — the hot path. Takes the qkv projection output
+  in its natural ``(B, N, 3, H, d)`` layout and returns ``(B, N, H*d)``;
+  the kernel's BlockSpec index maps read q/k/v straight out of that tensor
+  and write the output in token-major order, so the (B,H,N,d) transposes
+  the einsum formulation needs never materialize in HBM (measured ~13% of
+  the ViT-B/16 step before this change).
+* ``vit_attention`` — (B, H, N, d) API for callers that already hold
+  transposed tensors.
+
+Softmax economics (v5e VPU-bound at head_dim 64): scores are scaled by
+``scale * log2(e)`` inside the MXU epilogue so the exponential is a raw
+``exp2``; zero-padded keys are *not* masked per element — padded columns
+contribute exactly ``exp2(-m)`` each to the row sum (their scores are 0 and
+padded V rows are 0), so one per-row scalar correction replaces an
+(N_pad)-wide compare+select per score row.
 
 Forward-only Pallas; gradients fall back to the einsum formulation via
 custom_vjp (backbones are frozen in every reference pipeline —
@@ -17,6 +34,7 @@ memory is acceptable when it does run).
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -25,22 +43,54 @@ from jax.experimental.pallas import tpu as pltpu
 
 # keep the q-tile's f32 scores + bf16 probs within a VMEM budget
 _VMEM_BYTES = 8 * 1024 * 1024
+_LOG2E = math.log2(math.e)
+
+
+def _softmax_rows(s2, n_valid: int, n_total: int):
+    """Row softmax of base-2 scores with zero-pad column correction.
+
+    ``s2``: (bq, n_total) f32, already scaled by log2(e); columns >= n_valid
+    are structural zero-padding (score exactly 0)."""
+    m = jnp.max(s2, axis=1, keepdims=True)
+    p = jnp.exp2(s2 - m)
+    l = jnp.sum(p, axis=1, keepdims=True)
+    if n_valid != n_total:
+        # padded cols contributed exp2(0 - m) each; V rows there are zero,
+        # so only the normalizer needs correcting
+        l = l - (n_total - n_valid) * jnp.exp2(-m)
+    return p, l
+
+
+def _fused_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, n_valid: int,
+                  head_dim: int):
+    """One instance handles a 128-lane column block = ``128 // head_dim``
+    heads (Mosaic's minimum lane granularity; head_dim 64 → head pairs).
+    Refs are (1, bq|Nk, 128) blocks of the (B, Npad, 3*H*d) qkv tensor."""
+    q = q_ref[0]  # (bq, 128)
+    k = k_ref[0]  # (Nk, 128) — zero-padded rows beyond n_valid
+    v = v_ref[0]
+    outs = []
+    for j in range(q.shape[-1] // head_dim):
+        sl = slice(j * head_dim, (j + 1) * head_dim)
+        s2 = jax.lax.dot_general(
+            q[:, sl], k[:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * (scale * _LOG2E)
+        p, l = _softmax_rows(s2, n_valid, k.shape[0])
+        o = jax.lax.dot(p.astype(v.dtype), v[:, sl],
+                        preferred_element_type=jnp.float32)
+        outs.append(o / l)
+    o_ref[0] = jnp.concatenate(outs, axis=-1).astype(o_ref.dtype)
 
 
 def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, n_valid: int):
     q = q_ref[0, 0]  # (bq, d)
     k = k_ref[0, 0]  # (Nk, d) — 128-aligned, zero-padded beyond n_valid
     v = v_ref[0, 0]
-    s = jax.lax.dot_general(
+    s2 = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    s = s * scale
-    if n_valid != k.shape[0]:
-        cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        s = jnp.where(cols < n_valid, s, -1e9)
-    m = jnp.max(s, axis=1, keepdims=True)
-    p = jnp.exp(s - m)
-    l = jnp.sum(p, axis=1, keepdims=True)
+    ) * (scale * _LOG2E)
+    p, l = _softmax_rows(s2, n_valid, k.shape[0])
     o = jax.lax.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
     o_ref[0, 0] = (o / l).astype(o_ref.dtype)
 
@@ -52,6 +102,76 @@ def _pick_block_q(nq: int, n: int) -> int:
         if nq % cand == 0 and cand <= limit:
             best = cand
     return best
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "interpret"))
+def _fused_forward(qkv, scale: float, interpret: bool = False):
+    """qkv (B, N, 3, H, d) → (B, N, H*d), no HBM transposes.
+
+    The qkv tensor is viewed flat as (B, N, 3*H*d) — the Dense projection's
+    natural output, column order (role, head, j) — so a 128-wide column
+    block at block-index ``role*(H*d//128) + h2`` holds heads
+    [h2*g, (h2+1)*g) of that role, g = 128//d. Requires d | 128 and
+    128 | H*d (every ViT in the zoo satisfies both)."""
+    B, N, _, H, d = qkv.shape
+    assert 128 % d == 0 and (H * d) % 128 == 0, (H, d)
+    nblk = H * d // 128  # column blocks per role
+    flat = qkv.reshape(B, N, 3 * H * d)
+    pad = (-N) % 128
+    flat = jnp.pad(flat, ((0, 0), (0, pad), (0, 0)))
+    Nq = N + pad
+    bq = _pick_block_q(Nq, Nq)
+
+    def spec(role, bn):
+        return pl.BlockSpec(
+            (1, bn, 128),
+            lambda b, h2, i, r=role, full=(bn == Nq): (
+                b, 0 if full else i, r * nblk + h2
+            ),
+            memory_space=pltpu.VMEM,
+        )
+
+    out = pl.pallas_call(
+        functools.partial(_fused_kernel, scale=scale, n_valid=N, head_dim=d),
+        grid=(B, nblk, Nq // bq),
+        in_specs=[spec(0, bq), spec(1, Nq), spec(2, Nq)],
+        out_specs=pl.BlockSpec((1, bq, 128), lambda b, h2, i: (b, i, h2),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, Nq, H * d), qkv.dtype),
+        interpret=interpret,
+    )(flat, flat, flat)
+    return out[:, :N]
+
+
+def _fused_einsum_ref(qkv, scale):
+    B, N, _, H, d = qkv.shape
+    q, k, v = jnp.moveaxis(qkv, 2, 0)  # each (B, N, H, d)
+    s = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k,
+                   preferred_element_type=jnp.float32)
+    p = jax.nn.softmax(s, axis=-1).astype(qkv.dtype)
+    return jnp.einsum("bhqk,bkhd->bqhd", p, v).reshape(B, N, H * d)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def fused_qkv_attention(qkv, scale: float, interpret: bool = False):
+    """Non-causal attention on the fused projection output.
+
+    qkv: (B, N, 3, H, d) → (B, N, H*d). TPU single-pass kernel forward;
+    einsum-math backward (cold path: frozen backbones)."""
+    return _fused_forward(qkv, scale, interpret=interpret)
+
+
+def _fused_fwd(qkv, scale, interpret):
+    return _fused_forward(qkv, scale, interpret=interpret), (qkv,)
+
+
+def _fused_bwd(scale, interpret, res, g):
+    (qkv,) = res
+    _, vjp = jax.vjp(lambda x: _fused_einsum_ref(x, scale), qkv)
+    return vjp(g)
+
+
+fused_qkv_attention.defvjp(_fused_fwd, _fused_bwd)
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "interpret"))

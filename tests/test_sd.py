@@ -413,3 +413,58 @@ def test_ldm_unet_converter_matches_diffusers_naming(rng):
     assert len(ref_leaves) == len(got)
     for path, leaf in ref_leaves:
         np.testing.assert_array_equal(got[path], leaf)
+
+
+def test_zero123_cond_embedding_matches_torch(rng, tmp_path, monkeypatch):
+    """Self-contained Zero123 conditioning (zero123.py:48-56): CLIP image
+    tower -> ln_post(cls) @ proj -> cat pose T -> cc_projection, verified
+    against a torch oracle built from the same fabricated state_dict."""
+    monkeypatch.setenv("MVP_CHECKPOINT_DIR", str(tmp_path))
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_convert_extra import _CLIPVisual
+
+    from midvision_probe_tpu.models.sd.featurizer import Zero123
+
+    d, depth, patch, img, emb_dim = 64, 2, 8, 224, 48
+    # heads = width // 64 (CLIP's fixed head_dim, what _load_conditioning infers)
+    tower = _CLIPVisual(d=d, heads=1, depth=depth, patch=patch, img=img).eval()
+    ln_post = nn.LayerNorm(d, eps=1e-5).eval()
+    with torch.no_grad():
+        ln_post.weight.normal_(1.0, 0.05)
+        ln_post.bias.normal_(0.0, 0.05)
+    proj = torch.randn(d, emb_dim) * 0.05
+    cc = nn.Linear(emb_dim + 4, 16).eval()
+
+    sd = {f"cond_stage_model.model.visual.{k}": v
+          for k, v in tower.state_dict().items()}
+    sd["cond_stage_model.model.visual.ln_post.weight"] = ln_post.weight.data
+    sd["cond_stage_model.model.visual.ln_post.bias"] = ln_post.bias.data
+    sd["cond_stage_model.model.visual.proj"] = proj
+    sd["cc_projection.weight"] = cc.weight.data
+    sd["cc_projection.bias"] = cc.bias.data
+
+    z = Zero123()  # no ckpt on disk -> random unet/vae, no conditioning yet
+    z._load_conditioning(sd)
+    assert z.clip_cfg.width == d and z.clip_cfg.depth == depth
+
+    images = rng.rand(2, img, img, 3).astype(np.float32) * 2 - 1
+    got = np.asarray(z.cond_embedding(images))
+
+    # torch oracle (FrozenCLIPImageEmbedder preprocessing at native 224)
+    from midvision_probe_tpu.models.zoo import (
+        OPENAI_CLIP_MEAN,
+        OPENAI_CLIP_STD,
+    )
+
+    x = (torch.from_numpy(images.transpose(0, 3, 1, 2)) + 1) / 2
+    x = (x - torch.tensor(OPENAI_CLIP_MEAN)[:, None, None]) / torch.tensor(
+        OPENAI_CLIP_STD)[:, None, None]
+    with torch.no_grad():
+        cls = ln_post(tower(x)[-1][:, 0])
+        c = torch.cat([cls @ proj,
+                       torch.tensor([[0.0, 0.0, 1.0, 0.0]]).expand(2, 4)], -1)
+        ref = cc(c)[:, None].numpy()
+    np.testing.assert_allclose(got, ref, atol=5e-4, rtol=1e-3)
