@@ -38,6 +38,8 @@ VIT_GOLDENS = {
     "mocov3_vitb16": dict(kind="timm"),
     "croco_vitb16": dict(kind="timm", class_token=False, sincos=True),
     "mae_vitb16": dict(kind="hf"),
+    "radio_v2": dict(kind="radio", size=256, grid=16,
+                     taps=(7, 15, 23, 31)),
 }
 VIT_TAPS = (2, 5, 8, 11)  # default_vit_multilayers(12), dino.py:51-57
 
@@ -58,7 +60,20 @@ def _torch_vit_taps(name, spec, trunk_sd, x):
     """Independent torch forward at the tapped blocks; returns dense maps."""
     import torch
 
-    from torch_replicas import TimmViT, sincos2d_pos_embed
+    from torch_replicas import RadioViT, TimmViT, sincos2d_pos_embed
+
+    taps_idx = spec.get("taps", VIT_TAPS)
+    grid = spec.get("grid", 14)
+
+    if spec["kind"] == "radio":
+        t = RadioViT(dim=1280, depth=32, heads=16, patch=16,
+                     grid=grid).eval()
+        sub = {k[len("base_model.model."):]: v for k, v in trunk_sd.items()
+               if k.startswith("base_model.model.")}
+        t.load_state_dict(sub)
+        with torch.no_grad():
+            taps = t(torch.from_numpy(x))
+        return [_tokens_to_dense(taps[i].numpy(), 1, grid) for i in taps_idx]
 
     if spec["kind"] == "hf":
         import transformers
@@ -75,8 +90,8 @@ def _torch_vit_taps(name, spec, trunk_sd, x):
                             if k.startswith("vit.")})
         with torch.no_grad():
             out = hf(torch.from_numpy(x), output_hidden_states=True)
-        return [_tokens_to_dense(out.hidden_states[i + 1].numpy(), 1, 14)
-                for i in VIT_TAPS]
+        return [_tokens_to_dense(out.hidden_states[i + 1].numpy(), 1, grid)
+                for i in taps_idx]
 
     cls = spec.get("class_token", True)
     t = TimmViT(dim=768, depth=12, heads=12, patch=16, grid=14,
@@ -90,8 +105,8 @@ def _torch_vit_taps(name, spec, trunk_sd, x):
         t.pos_embed.data = sincos2d_pos_embed(768, 14, cls_row=cls)
     with torch.no_grad():
         taps = t(torch.from_numpy(x))
-    return [_tokens_to_dense(taps[i].numpy(), 1 if cls else 0, 14)
-            for i in VIT_TAPS]
+    return [_tokens_to_dense(taps[i].numpy(), 1 if cls else 0, grid)
+            for i in taps_idx]
 
 
 def export(out_dir: str) -> int:
@@ -116,7 +131,7 @@ def export(out_dir: str) -> int:
             torch.load(path, map_location="cpu", weights_only=False),
             entry.source,
         )
-        x = _fixed_input(224)
+        x = _fixed_input(VIT_GOLDENS.get(name, {}).get("size", 224))
         if entry.arch == "resnet":
             t = TorchResNet50()
             t.load_state_dict(sd)
@@ -149,8 +164,9 @@ def verify(golden_dir: str, atol: float = 2e-3) -> int:
         if zoo.ZOO[name].arch == "resnet":
             m = zoo.build_resnet_extractor(name, return_multilayer=True)
         else:
-            m = zoo.build_vit_extractor(name, return_multilayer=True,
-                                        init_size=224)
+            m = zoo.build_vit_extractor(
+                name, return_multilayer=True,
+                init_size=data["input"].shape[-1])
         x = data["input"].transpose(0, 2, 3, 1)
         outs = m(jnp.asarray(x))
         for i, out in enumerate(outs):

@@ -34,8 +34,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
 from torch_replicas import (  # noqa: E402
+    RadioViT,
     TimmViT,
     TorchResNet50,
+    wrap_radio,
     sincos2d_pos_embed,
     timm_to_hf_mae,
     timm_to_mmselfsup,
@@ -77,6 +79,12 @@ def build_all() -> dict[str, object]:
     # NAVER CroCo v1 — enc_blocks/enc_norm under 'model', no cls token,
     # runtime sincos pos embed (not stored)
     out["CroCo.pth"] = wrap_croco(_vitb(seed=6, class_token=False))
+
+    # NVIDIA RADIO v2 — ViT-H/16 trunk with CPE patch generator + input
+    # conditioner under base_model. (radio.py:35, torch.hub layout)
+    out["radio_v2.pth.tar"] = wrap_radio(
+        RadioViT(dim=1280, depth=32, heads=16, patch=16, grid=16,
+                 seed=9).state_dict())
 
     # VISSL .torch (SimCLR) + MoCo v2 containers around a torchvision R50
     out["simclr_resnet50.torch"] = wrap_vissl(TorchResNet50(seed=7).state_dict())

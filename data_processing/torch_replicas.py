@@ -337,3 +337,63 @@ def sincos2d_pos_embed(dim: int, grid: int, cls_row: bool) -> torch.Tensor:
 
     tab = get_2d_sincos_pos_embed(dim, (grid, grid), add_cls_token=cls_row)
     return torch.from_numpy(np.asarray(tab, np.float32)).unsqueeze(0)
+
+
+# --------------------------------------------------------------------------
+# RADIO trunk replica (radio.py:84-115 semantics: CPE patch generator,
+# patch-only pos embed, per-tap final norm)
+# --------------------------------------------------------------------------
+
+
+class RadioViT(nn.Module):
+    def __init__(self, dim=1280, depth=32, heads=16, patch=16, grid=16,
+                 mlp_ratio=4.0, seed=0):
+        super().__init__()
+        torch.manual_seed(seed)
+        self.patch_generator = nn.Module()
+        self.patch_generator.embedder = nn.Linear(3 * patch * patch, dim)
+        self.patch_generator.pos_embed = nn.Parameter(
+            torch.zeros(1, grid * grid, dim))
+        self.patch_generator.cls_token = nn.Module()
+        self.patch_generator.cls_token.token = nn.Parameter(
+            torch.zeros(1, 1, dim))
+        self.blocks = nn.ModuleList(
+            [TimmBlock(dim, heads, mlp_ratio) for _ in range(depth)])
+        self.norm = nn.LayerNorm(dim, eps=1e-6)
+        self._patch = patch
+        for m in self.modules():
+            if isinstance(m, nn.Linear):
+                nn.init.trunc_normal_(m.weight, std=0.02)
+                if m.bias is not None:
+                    nn.init.zeros_(m.bias)
+        nn.init.trunc_normal_(self.patch_generator.pos_embed, std=0.02)
+        nn.init.trunc_normal_(self.patch_generator.cls_token.token, std=0.02)
+
+    def forward(self, x):
+        B, _, H, W = x.shape
+        p = self._patch
+        # RADIO flattens patches (ph, pw, c): b c (h p1) (w p2) -> b (h w) (p1 p2 c)
+        x = x.unfold(2, p, p).unfold(3, p, p)        # B C gh gw p p
+        x = x.permute(0, 2, 3, 4, 5, 1).reshape(B, -1, p * p * 3)
+        x = self.patch_generator.embedder(x)
+        x = x + self.patch_generator.pos_embed       # patches only
+        cls = self.patch_generator.cls_token.token.expand(B, -1, -1)
+        x = torch.cat([cls, x], dim=1)               # no pos on cls
+        taps = []
+        for blk in self.blocks:
+            x = blk(x)
+            taps.append(self.norm(x))                # radio.py:92-95
+        return taps
+
+
+def wrap_radio(trunk_sd: dict, mean=(0.48145466, 0.4578275, 0.40821073),
+               std=(0.26862954, 0.26130258, 0.27577711)) -> dict:
+    """torch.hub radio checkpoint: trunk under ``base_model.model.``, the
+    input conditioner beside it, inside a ``state_dict`` container."""
+    sd = {f"base_model.model.{k}": v for k, v in trunk_sd.items()}
+    sd["base_model.input_conditioner.norm_mean"] = torch.tensor(mean).view(
+        1, 3, 1, 1)
+    sd["base_model.input_conditioner.norm_std"] = torch.tensor(std).view(
+        1, 3, 1, 1)
+    sd["base_model.summary_idxs"] = torch.tensor([0])
+    return {"state_dict": sd, "epoch": 0}

@@ -300,8 +300,15 @@ class ViT(nn.Module):
                 (table_len, c.width),
                 jnp.float32,
             )
+            # trust the actual table length over cfg.table_grid: converted
+            # checkpoints may carry a different (square) training grid
+            n_actual = pos.shape[0] - (1 if c.pos_embed_cls else 0)
+            orig_hw = c.table_grid
+            if orig_hw is None or n_actual != orig_hw[0] * orig_hw[1]:
+                side = int(round(math.sqrt(n_actual)))
+                orig_hw = (side, side)
             pos = resize_pos_embed(
-                pos, (gh, gw), has_cls_token=c.pos_embed_cls, orig_hw=c.table_grid
+                pos, (gh, gw), has_cls_token=c.pos_embed_cls, orig_hw=orig_hw
             )
             if c.class_token and not c.pos_embed_cls:
                 pos = jnp.concatenate([jnp.zeros_like(pos[:1]), pos], axis=0)

@@ -244,9 +244,13 @@ register(ZooEntry(
 ))
 register(ZooEntry(
     "radio_v2", "vit", "state_dict", "radio_v2.pth.tar",
-    url="NVlabs RADIO v2 (radio.py:35); approximated as the ViT-H/16 trunk",
-    vit=_vit("vit_huge", 16, 14, final_norm=False),
-    prefix="base_model.model.",
+    url="NVlabs RADIO v2 (radio.py:35)",
+    # RADIO semantics (radio.py:84-115): CPE patch generator = linear patch
+    # embedder + pos embed on patches only (no CLS row) + learned CLS; every
+    # tap goes through model.norm (radio.py:92-95). The checkpoint's
+    # input_conditioner overrides image_mean/std at load time.
+    vit=_vit("vit_huge", 16, 16, final_norm=True, pos_embed_cls=False),
+    converter="radio",
 ))
 
 # --- SAM image encoders (reference sam.py; windowed-attention ViTDet) -----
@@ -340,30 +344,39 @@ def _load_torch_file(path: str):
     return torch.load(path, map_location="cpu", weights_only=False)
 
 
-def load_variables(entry: ZooEntry, cfg) -> dict | None:
-    """Resolve + convert weights; None if no checkpoint is on disk."""
+def load_variables(entry: ZooEntry, cfg) -> tuple[dict | None, dict]:
+    """Resolve + convert weights → (variables, extras). ``variables`` is
+    None if no checkpoint is on disk; ``extras`` may carry converter-side
+    spec overrides (e.g. RADIO's input-conditioner mean/std)."""
     path = os.path.join(checkpoint_dir(), entry.filename)
     if not os.path.exists(path):
-        return None
+        return None, {}
     ckpt = _load_torch_file(path)
     sd = unwrap_checkpoint(ckpt, entry.source)
     if entry.arch == "resnet":
-        return convert_resnet50(sd, prefix=entry.prefix)
+        return convert_resnet50(sd, prefix=entry.prefix), {}
     if entry.arch == "convnext":
         from midvision_probe_tpu.models.convert.convnext_convert import (
             convert_convnext,
         )
 
-        return convert_convnext(sd, cfg, prefix=entry.prefix)
+        return convert_convnext(sd, cfg, prefix=entry.prefix), {}
     if entry.converter == "hf":
-        return convert_vit_hf(sd, cfg, prefix=entry.prefix)
+        return convert_vit_hf(sd, cfg, prefix=entry.prefix), {}
+    if entry.converter == "radio":
+        from midvision_probe_tpu.models.convert.radio_convert import (
+            convert_radio,
+        )
+
+        return convert_radio(sd, cfg, prefix=entry.prefix)
     if entry.converter == "openclip":
         from midvision_probe_tpu.models.convert.clip_convert import (
             convert_vit_openclip,
         )
 
-        return convert_vit_openclip(sd, cfg, prefix=entry.prefix or "visual.")
-    return convert_vit_timm(sd, cfg, prefix=entry.prefix)
+        return (convert_vit_openclip(sd, cfg, prefix=entry.prefix or "visual."),
+                {})
+    return convert_vit_timm(sd, cfg, prefix=entry.prefix), {}
 
 
 _RANDOM_INIT_CACHE: dict = {}
@@ -415,6 +428,8 @@ def build_vit_extractor(
     if not return_multilayer:
         multilayers = [multilayers[-1] if layer == -1 else layer]
 
+    module = ViT(cfg)
+    variables, extras = load_variables(entry, cfg)
     feat_dim = cfg.width * (2 if output == "dense-cls" else 1)
     spec = FeatureSpec(
         feat_dim=[feat_dim] * len(multilayers) if return_multilayer else feat_dim,
@@ -425,11 +440,9 @@ def build_vit_extractor(
         output=output,
         num_layers=cfg.depth,
         add_norm=add_norm,
-        image_mean=entry.image_mean,
-        image_std=entry.image_std,
+        image_mean=extras.get("image_mean", entry.image_mean),
+        image_std=extras.get("image_std", entry.image_std),
     )
-    module = ViT(cfg)
-    variables = load_variables(entry, cfg)
     if variables is None:
         log.warning(
             "no checkpoint for %s under %s — random init (feature protocol "
@@ -475,7 +488,7 @@ def build_resnet_extractor(
         image_std=entry.image_std,
     )
     module = ResNet50(dtype=dtype)
-    variables = load_variables(entry, None)
+    variables, _ = load_variables(entry, None)
     if variables is None:
         log.warning(
             "no checkpoint for %s under %s — random init", name, checkpoint_dir()
@@ -630,7 +643,7 @@ def build_convnext_extractor(
         image_std=entry.image_std,
     )
     module = ConvNeXt(cfg)
-    variables = load_variables(entry, cfg)
+    variables, _ = load_variables(entry, cfg)
     if variables is None:
         log.warning("no checkpoint for %s under %s — random init", name,
                     checkpoint_dir())
@@ -795,9 +808,10 @@ def RADIO(version="radio_v2", output="dense", layer=-1,
           return_multilayer=False, add_norm=False, **kw):
     """reference ``radio.py:35`` (NVIDIA agglomerative ViT).
 
-    Approximation note: RADIO's input conditioner + CPE are folded into the
-    plain ViT-H/16 trunk here; spatial-feature parity requires the trunk
-    weights under $MVP_CHECKPOINT_DIR/radio_v2.pth.tar."""
+    Faithful trunk semantics (radio.py:84-115): CPE patch generator (linear
+    embedder, patch-only pos embed, learned CLS), per-tap final norm, and
+    the checkpoint's input_conditioner folded into the preprocessing spec;
+    weights expected under $MVP_CHECKPOINT_DIR/radio_v2.pth.tar."""
     kw.pop("return_cls", None)
     return build_vit_extractor(
         "radio_v2", output=output, layer=layer,

@@ -66,7 +66,10 @@ def _fused_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, n_valid: int,
     """One instance handles a 128-lane column block = ``128 // head_dim``
     heads (Mosaic's minimum lane granularity; head_dim 64 → head pairs).
     Refs are (1, bq|Nk, 128) blocks of the (B, Npad, 3*H*d) qkv tensor."""
-    q = q_ref[0]  # (bq, 128)
+    # scale*log2(e) is folded into the q tile — (bq, 128) elements instead
+    # of a post-multiply over the (bq, Nk) score matrix
+    q = q_ref[0].astype(jnp.float32) * (scale * _LOG2E)  # (bq, 128)
+    q = q.astype(q_ref.dtype)
     k = k_ref[0]  # (Nk, 128) — zero-padded rows beyond n_valid
     v = v_ref[0]
     outs = []
@@ -75,7 +78,7 @@ def _fused_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, n_valid: int,
         s2 = jax.lax.dot_general(
             q[:, sl], k[:, sl], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ) * (scale * _LOG2E)
+        )
         p, l = _softmax_rows(s2, n_valid, k.shape[0])
         o = jax.lax.dot(p.astype(v.dtype), v[:, sl],
                         preferred_element_type=jnp.float32)
@@ -138,6 +141,9 @@ def _fused_forward(qkv, scale: float, interpret: bool = False):
         out_specs=pl.BlockSpec((1, bq, 128), lambda b, h2, i: (b, i, h2),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, Nq, H * d), qkv.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
         interpret=interpret,
     )(flat, flat, flat)
     return out[:, :N]

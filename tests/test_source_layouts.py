@@ -124,3 +124,33 @@ def test_vissl_and_mocov2_containers_unwrap(tmp_path):
         sd = unwrap_checkpoint(
             torch.load(path, map_location="cpu", weights_only=False), source)
         assert set(sd) == set(trunk), (source, set(sd))
+
+
+def test_radio_layout_roundtrip(tmp_path, rng):
+    """RADIO CPE semantics end-to-end (radio.py:84-115): linear (ph,pw,c)
+    patch embedder, patch-only pos embed, per-tap final norm, and the
+    input conditioner surfaced through the converter extras."""
+    from torch_replicas import RadioViT, wrap_radio
+
+    from midvision_probe_tpu.models.convert.radio_convert import convert_radio
+
+    t = RadioViT(dim=DIM, depth=DEPTH, heads=HEADS, patch=PATCH, grid=GRID,
+                 mlp_ratio=2.0, seed=13).eval()
+    obj = wrap_radio(t.state_dict(), mean=(0.1, 0.2, 0.3), std=(0.9, 0.8, 0.7))
+    path = os.path.join(tmp_path, "radio.pth.tar")
+    torch.save(obj, path)
+    sd = unwrap_checkpoint(
+        torch.load(path, map_location="cpu", weights_only=False),
+        "state_dict")
+    cfg = _cfg(final_norm=True, pos_embed_cls=False)
+    variables, extras = convert_radio(sd, cfg)
+    np.testing.assert_allclose(extras["image_mean"], (0.1, 0.2, 0.3))
+
+    x = rng.randn(2, 3, GRID * PATCH, GRID * PATCH).astype(np.float32)
+    with torch.no_grad():
+        ref = [r.numpy() for r in t(torch.from_numpy(x))]
+    res = ViT(cfg).apply(variables, jnp.asarray(x.transpose(0, 2, 3, 1)),
+                         taps=tuple(range(DEPTH)))
+    for got, want in zip(res["tokens"], ref):
+        np.testing.assert_allclose(np.asarray(got), want, atol=3e-5,
+                                   rtol=1e-4)
