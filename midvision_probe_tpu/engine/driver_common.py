@@ -13,9 +13,23 @@ from typing import Any
 import numpy as np
 
 from midvision_probe_tpu.config import Config, instantiate
-from midvision_probe_tpu.datasets import build_loader
+from midvision_probe_tpu.datasets import build_loader as _build_loader
 from midvision_probe_tpu.engine.probe_fit import ProbeTrainer
+from midvision_probe_tpu.parallel import multihost
 from midvision_probe_tpu.utils.logging import CSVWriter, maybe_wandb, setup_logger
+
+
+def build_loader(*args, **kwargs):
+    """Dataset loader with this host's data shard applied (multi-host:
+    SURVEY §2.6 — DistributedSampler → per-process shard slice)."""
+    multihost.initialize()
+    kwargs.setdefault("num_shards", None)
+    kwargs.setdefault("shard_index", None)
+    if kwargs["num_shards"] is None:
+        shard = multihost.process_shard_args()
+        kwargs["num_shards"] = shard["num_shards"]
+        kwargs["shard_index"] = shard["shard_index"]
+    return _build_loader(*args, **kwargs)
 
 
 def build_backbone(cfg: Config, needs_multilayer: bool):

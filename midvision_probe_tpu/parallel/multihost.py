@@ -1,0 +1,85 @@
+"""Multi-host (multi-process) scaffolding — SURVEY §2.6 TPU-native mapping.
+
+The reference's only distribution is single-node DDP (``mp.spawn`` +
+``DistributedSampler``, ``train_depth.py:64-73``). The TPU-native analog:
+
+* ``initialize()`` — ``jax.distributed.initialize`` when launched as a
+  multi-process job (TPU pod slice / coordinator env), a no-op for the
+  single-process case every test and single-chip run uses.
+* ``process_shard_args()`` — per-host (num_shards, shard_index) for
+  ``datasets.builder.Loader``, the DistributedSampler equivalent.
+* ``make_global_batch()`` — assemble each host's local batch slice into one
+  globally-sharded ``jax.Array`` via ``jax.make_array_from_process_local_data``
+  (single-process: a plain ``device_put`` with batch sharding).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+log = logging.getLogger(__name__)
+
+_initialized = False
+
+
+def initialize(coordinator_address: str | None = None,
+               num_processes: int | None = None,
+               process_id: int | None = None) -> None:
+    """Bring up the JAX distributed runtime exactly once.
+
+    Resolution order: explicit args > the standard env vars
+    (``JAX_COORDINATOR_ADDRESS``/``JAX_NUM_PROCESSES``/``JAX_PROCESS_ID``,
+    or TPU-pod auto-detection inside ``jax.distributed.initialize``) >
+    single-process no-op."""
+    global _initialized
+    if _initialized or jax.process_count() > 1:
+        _initialized = True
+        return
+    coordinator_address = coordinator_address or os.environ.get(
+        "JAX_COORDINATOR_ADDRESS")
+    if num_processes is None and "JAX_NUM_PROCESSES" in os.environ:
+        num_processes = int(os.environ["JAX_NUM_PROCESSES"])
+    if process_id is None and "JAX_PROCESS_ID" in os.environ:
+        process_id = int(os.environ["JAX_PROCESS_ID"])
+    if coordinator_address is None and num_processes in (None, 1):
+        # single-process run: nothing to initialize
+        _initialized = True
+        return
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+    _initialized = True
+    log.info("jax.distributed initialized: process %d/%d, %d local / %d "
+             "global devices", jax.process_index(), jax.process_count(),
+             jax.local_device_count(), jax.device_count())
+
+
+def process_shard_args() -> dict:
+    """Loader kwargs for this host's data shard
+    (``DistributedSampler(rank, world)`` equivalent, ``builder.py:50-52``)."""
+    return {
+        "num_shards": jax.process_count(),
+        "shard_index": jax.process_index(),
+    }
+
+
+def make_global_batch(batch, mesh: Mesh):
+    """Per-host local batch pytree → globally batch-sharded jax.Arrays.
+
+    Each host feeds only its shard (``process_shard_args``); the returned
+    arrays have global shape ``local_batch * process_count`` along axis 0,
+    sharded over the mesh's 'data' axis."""
+
+    def put(x):
+        sharding = NamedSharding(mesh, P("data", *([None] * (x.ndim - 1))))
+        if jax.process_count() == 1:
+            return jax.device_put(x, sharding)
+        return jax.make_array_from_process_local_data(sharding, x)
+
+    return jax.tree_util.tree_map(put, batch)
