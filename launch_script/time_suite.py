@@ -1,0 +1,196 @@
+#!/usr/bin/env python
+"""Measure per-step probe-training costs on the real chip and project the
+full 20-backbone x 6-task suite wall-clock (BASELINE.md: < 1 hr on v4-8).
+
+The reference protocol (configs/depth_training.yaml + ten_epoch.yaml):
+batch 16/GPU x 2 = 32 global, 10 epochs + 1.5 warmup over NYU GeoNet
+(~24.2k images -> ~757 steps/epoch), DPT probe on 4 frozen taps. The two
+suite levers measured here are the sweep defaults
+(``launch_script/sweep.py``): bfloat16 backbone compute and
+``system.cache_features`` (frozen features extracted once in epoch 1,
+epochs 2..10 train the probe on cached features).
+
+Writes a markdown timing table; one chip's numbers scale to a v4-8 (4
+chips, DP over data axis) by dividing the per-step time (batch 32 shards
+to 8 per chip; v4 MXU ~ v5e for bf16 within ~10%).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(
+    0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+os.makedirs("/tmp/mvp_jax_cache", exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", "/tmp/mvp_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+# reference suite geometry
+STEPS_PER_EPOCH = 757      # ~24.2k NYU GeoNet images / batch 32
+N_EPOCHS = 10
+N_BACKBONES = 20
+# tasks: depth + snorm (trained probes), objectness (VOC ~ 200 steps/ep),
+# spair/navi/scannet/percepture (eval-only, feature-extraction bound)
+EVAL_IMAGES = {"spair": 2 * 700, "navi": 2 * 1000, "scannet": 2 * 1500,
+               "percepture": 3 * 1800}
+
+
+def timeit(fn, *args, iters=10):
+    out = fn(*args)
+    jax.block_until_ready(out)
+    chk = jax.tree_util.tree_leaves(out)[0]
+    float(jnp.asarray(chk).reshape(-1)[0])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    chk = jax.tree_util.tree_leaves(out)[0]
+    float(jnp.asarray(chk).reshape(-1)[0])
+    return (time.perf_counter() - t0) / iters
+
+
+def measure_backbone(name: str, batch: int, hw=(480, 480)):
+    import optax
+
+    from midvision_probe_tpu.models import zoo
+    from midvision_probe_tpu.models.probes import DepthHead, TapNorms
+    from midvision_probe_tpu.ops.image import resize
+    from midvision_probe_tpu.utils.losses import depth_loss
+
+    entry = zoo.ZOO[name]
+    if entry.arch == "resnet":
+        bb = zoo.build_resnet_extractor(name, return_multilayer=True,
+                                        dtype=jnp.bfloat16)
+    else:
+        bb = zoo.build_vit_extractor(name, return_multilayer=True,
+                                     dtype=jnp.bfloat16, init_size=224)
+    probe = DepthHead(feat_dim=bb.feat_dim, head_type="dpt",
+                      prediction_type="bindepth")
+    tap_norms = TapNorms(num_taps=len(bb.multilayers))
+
+    rng_np = np.random.RandomState(0)
+    images = jnp.asarray(rng_np.rand(batch, *hw, 3).astype(np.float32))
+    depth = jnp.asarray(rng_np.rand(batch, *hw, 1).astype(np.float32) * 9 + 1)
+
+    feats0 = [f[:1] for f in bb.features(images[:1])]
+    rng = jax.random.PRNGKey(0)
+    tn_vars = tap_norms.init(rng, feats0, train=True)
+    pr_vars = probe.init(rng, tap_norms.apply(tn_vars, feats0, train=False))
+    params = {"tap": tn_vars["params"], "probe": pr_vars["params"]}
+    stats = {"tap": tn_vars.get("batch_stats", {})}
+    tx = optax.adamw(5e-4)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def extract(images):
+        return [f.astype(jnp.bfloat16) for f in
+                bb._apply_fn(bb.variables, images)[0]]
+
+    @jax.jit
+    def probe_step(params, stats, opt_state, feats, depth):
+        def loss_fn(p):
+            f2, upd = tap_norms.apply(
+                {"params": p["tap"], "batch_stats": stats["tap"]},
+                [f.astype(jnp.float32) for f in feats],
+                train=True, mutable=["batch_stats"])
+            pred = probe.apply({"params": p["probe"]}, f2)
+            pred = resize(pred, depth.shape[1:3], mode="bilinear")
+            return depth_loss(pred, depth), upd["batch_stats"]
+
+        (loss, new_stats), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), new_stats, opt_state, loss
+
+    @jax.jit
+    def full_step(params, stats, opt_state, images, depth):
+        feats = extract(images)
+        return probe_step(params, stats, opt_state, feats, depth)
+
+    t_extract = timeit(extract, images)
+    feats = extract(images)
+    t_probe = timeit(
+        lambda p, s, o, f, d: probe_step(p, s, o, f, d)[3],
+        params, stats, opt_state, feats, depth)
+    t_full = timeit(
+        lambda p, s, o, i, d: full_step(p, s, o, i, d)[3],
+        params, stats, opt_state, images, depth)
+    return t_extract, t_probe, t_full
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--backbones", nargs="*",
+                    default=["dino_vitb16", "simclr_resnet50"])
+    ap.add_argument("--out", default="logs/suite_timing.md")
+    args = ap.parse_args(argv)
+
+    rows = []
+    for name in args.backbones:
+        te, tp, tf = measure_backbone(name, args.batch)
+        rows.append((name, te, tp, tf))
+        print(f"{name}: extract {te*1e3:.1f} ms | probe-step {tp*1e3:.1f} ms"
+              f" | full-step {tf*1e3:.1f} ms  (batch {args.batch})")
+
+    # suite projection: mean over measured backbones as the fleet average
+    te = float(np.mean([r[1] for r in rows]))
+    tp = float(np.mean([r[2] for r in rows]))
+    tf = float(np.mean([r[3] for r in rows]))
+    total_steps = STEPS_PER_EPOCH * N_EPOCHS
+    # cached: epoch 1 full steps, epochs 2..N probe-only
+    t_train_cached = STEPS_PER_EPOCH * tf + (total_steps - STEPS_PER_EPOCH) * tp
+    t_train_uncached = total_steps * tf
+    # eval tasks: feature extraction dominated
+    eval_imgs = sum(EVAL_IMAGES.values())
+    t_eval = eval_imgs * te / args.batch
+    t_obj = 200 * N_EPOCHS * tf                      # VOC objectness
+    per_backbone_cached = 2 * t_train_cached + t_obj + t_eval
+    per_backbone_uncached = 2 * t_train_uncached + t_obj + t_eval
+    suite_cached = N_BACKBONES * per_backbone_cached
+    suite_uncached = N_BACKBONES * per_backbone_uncached
+
+    lines = [
+        "# Suite wall-clock projection (measured on 1x TPU v5e)",
+        "",
+        f"batch {args.batch}, 480x480, bf16 backbone, DPT probe; reference "
+        f"protocol {N_EPOCHS} epochs x {STEPS_PER_EPOCH} steps.",
+        "",
+        "| backbone | extract ms | probe-step ms | full-step ms |",
+        "|---|---|---|---|",
+    ]
+    for name, a, b, c in rows:
+        lines.append(f"| {name} | {a*1e3:.1f} | {b*1e3:.1f} | {c*1e3:.1f} |")
+    lines += [
+        "",
+        f"- depth+snorm training per backbone: "
+        f"{2*t_train_cached/60:.1f} min cached / "
+        f"{2*t_train_uncached/60:.1f} min uncached",
+        f"- eval tasks (spair/navi/scannet/2afc, "
+        f"{sum(EVAL_IMAGES.values())} imgs) per backbone: "
+        f"{t_eval/60:.1f} min",
+        f"- objectness per backbone: {t_obj/60:.1f} min",
+        "",
+        f"**{N_BACKBONES}-backbone suite, 1 chip: "
+        f"{suite_cached/3600:.2f} h with cache_features "
+        f"({suite_uncached/3600:.2f} h without).**",
+        f"**v4-8 (4 chips, data-parallel): ~{suite_cached/3600/4:.2f} h "
+        f"cached — target < 1 h: "
+        f"{'MET' if suite_cached/4 < 3600 else 'NOT MET'}.**",
+    ]
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    with open(args.out, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print("\n".join(lines[-4:]))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
