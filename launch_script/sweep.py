@@ -80,7 +80,8 @@ def main(argv=None):
                 # the <1 hr suite levers (BASELINE.md): extract frozen
                 # features once per epoch-0 batch and reuse; bf16 backbone
                 overrides += ["system.cache_features=true",
-                              "system.backbone_dtype=bfloat16"]
+                              "system.backbone_dtype=bfloat16",
+                              "system.probe_dtype=bfloat16"]
         overrides += list(args.extra)
         cmd = [sys.executable, driver] + overrides
         log_path = os.path.join(args.log_dir, args.task, f"{model}.log")

@@ -56,7 +56,8 @@ def timeit(fn, *args, iters=10):
     return (time.perf_counter() - t0) / iters
 
 
-def measure_backbone(name: str, batch: int, hw=(480, 480)):
+def measure_backbone(name: str, batch: int, hw=(480, 480),
+                     head_type="dpt", probe_dtype=jnp.float32):
     import optax
 
     from midvision_probe_tpu.models import zoo
@@ -66,13 +67,15 @@ def measure_backbone(name: str, batch: int, hw=(480, 480)):
 
     entry = zoo.ZOO[name]
     if entry.arch == "resnet":
+        # reference backbone configs pick stages [1,2,3,4] for probing
         bb = zoo.build_resnet_extractor(name, return_multilayer=True,
+                                        return_layers=[1, 2, 3, 4],
                                         dtype=jnp.bfloat16)
     else:
         bb = zoo.build_vit_extractor(name, return_multilayer=True,
                                      dtype=jnp.bfloat16, init_size=224)
-    probe = DepthHead(feat_dim=bb.feat_dim, head_type="dpt",
-                      prediction_type="bindepth")
+    probe = DepthHead(feat_dim=bb.feat_dim, head_type=head_type,
+                      prediction_type="bindepth", dtype=probe_dtype)
     tap_norms = TapNorms(num_taps=len(bb.multilayers))
 
     rng_np = np.random.RandomState(0)
@@ -133,17 +136,27 @@ def main(argv=None):
     ap.add_argument("--out", default="logs/suite_timing.md")
     args = ap.parse_args(argv)
 
+    variants = [("dpt", jnp.float32), ("dpt", jnp.bfloat16),
+                ("linear", jnp.bfloat16)]
     rows = []
     for name in args.backbones:
-        te, tp, tf = measure_backbone(name, args.batch)
-        rows.append((name, te, tp, tf))
-        print(f"{name}: extract {te*1e3:.1f} ms | probe-step {tp*1e3:.1f} ms"
-              f" | full-step {tf*1e3:.1f} ms  (batch {args.batch})")
+        for head, pdt in variants:
+            te, tp, tf = measure_backbone(name, args.batch, head_type=head,
+                                          probe_dtype=pdt)
+            tag = f"{name}/{head}-{pdt.__name__.replace('float','f')}"
+            rows.append((tag, te, tp, tf))
+            print(f"{tag}: extract {te*1e3:.1f} ms | probe-step "
+                  f"{tp*1e3:.1f} ms | full-step {tf*1e3:.1f} ms "
+                  f"(batch {args.batch})", flush=True)
 
-    # suite projection: mean over measured backbones as the fleet average
-    te = float(np.mean([r[1] for r in rows]))
-    tp = float(np.mean([r[2] for r in rows]))
-    tf = float(np.mean([r[3] for r in rows]))
+    # suite projection per variant: mean over backbones as fleet average
+    def project(head, pdt):
+        sel = [r for r in rows if f"/{head}-{pdt}" in r[0]]
+        return (float(np.mean([r[1] for r in sel])),
+                float(np.mean([r[2] for r in sel])),
+                float(np.mean([r[3] for r in sel])))
+
+    te, tp, tf = project("dpt", "bf16")
     total_steps = STEPS_PER_EPOCH * N_EPOCHS
     # cached: epoch 1 full steps, epochs 2..N probe-only
     t_train_cached = STEPS_PER_EPOCH * tf + (total_steps - STEPS_PER_EPOCH) * tp
@@ -156,6 +169,13 @@ def main(argv=None):
     per_backbone_uncached = 2 * t_train_uncached + t_obj + t_eval
     suite_cached = N_BACKBONES * per_backbone_cached
     suite_uncached = N_BACKBONES * per_backbone_uncached
+
+    # linear-probe fast preset
+    te_l, tp_l, tf_l = project("linear", "bf16")
+    t_train_lin = (STEPS_PER_EPOCH * tf_l
+                   + (total_steps - STEPS_PER_EPOCH) * tp_l)
+    suite_linear = N_BACKBONES * (
+        2 * t_train_lin + 200 * N_EPOCHS * tf_l + eval_imgs * te_l / args.batch)
 
     lines = [
         "# Suite wall-clock projection (measured on 1x TPU v5e)",
@@ -184,6 +204,15 @@ def main(argv=None):
         f"**v4-8 (4 chips, data-parallel): ~{suite_cached/3600/4:.2f} h "
         f"cached — target < 1 h: "
         f"{'MET' if suite_cached/4 < 3600 else 'NOT MET'}.**",
+        "",
+        f"**Linear-probe fast preset: {suite_linear/3600:.2f} h on 1 chip, "
+        f"~{suite_linear/3600/4:.2f} h on v4-8 — "
+        f"{'MET' if suite_linear/4 < 3600 else 'NOT MET'}.**",
+        "",
+        "Context: the paper protocol's DPT probe is ~650 GF/img forward — "
+        "the train step, not feature extraction, dominates; cache_features "
+        "only removes the (smaller) extraction term. The <1 hr target is "
+        "reachable with the linear-probe preset or a shorter schedule.",
     ]
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     with open(args.out, "w") as f:

@@ -48,6 +48,18 @@ def build_backbone(cfg: Config, needs_multilayer: bool):
     return instantiate(cfg.backbone, **kwargs)
 
 
+def probe_dtype_kwargs(cfg: Config) -> dict:
+    """``system.probe_dtype`` selects the probe's compute dtype (params stay
+    f32 — flax mixed precision). bfloat16 roughly halves the DPT train step,
+    which dominates suite wall-clock (launch_script/time_suite.py)."""
+    name = cfg.get_path("system.probe_dtype", None)
+    if not name:
+        return {}
+    import jax.numpy as jnp
+
+    return {"dtype": getattr(jnp, name)}
+
+
 def experiment_name(cfg: Config, task: str, backbone, probe_tag: str) -> str:
     """Reference-style experiment naming (``train_depth.py:575-600``)."""
     train_info = (

@@ -20,6 +20,7 @@ import numpy as np
 
 from midvision_probe_tpu.config import instantiate, main
 from midvision_probe_tpu.engine.driver_common import (
+    probe_dtype_kwargs,
     build_backbone,
     build_loader,
     emit_csv,
@@ -47,7 +48,7 @@ def run(cfg):
     max_depth = getattr(train_loader.dataset, "max_depth", 10.0)
 
     probe = instantiate(cfg.probe, feat_dim=backbone.feat_dim,
-                        max_depth=max_depth)
+                        max_depth=max_depth, **probe_dtype_kwargs(cfg))
     exp_name, exp_dir, logger, wandb = setup_experiment(
         cfg, "depth", backbone, probe.name_tag
     )

@@ -17,6 +17,7 @@ import numpy as np
 from midvision_probe_tpu.config import instantiate, main
 from midvision_probe_tpu.datasets.builder import Loader
 from midvision_probe_tpu.engine.driver_common import (
+    probe_dtype_kwargs,
     build_backbone,
     build_loader,
     emit_csv,
@@ -58,7 +59,8 @@ def run(cfg):
                           seed=cfg.system.get("random_seed", 8))
     val_loader = Loader(val_ds, cfg.batch_size)
 
-    probe = instantiate(cfg.probe, feat_dim=backbone.feat_dim)
+    probe = instantiate(cfg.probe, feat_dim=backbone.feat_dim,
+                        **probe_dtype_kwargs(cfg))
     exp_name, exp_dir, logger, wandb = setup_experiment(
         cfg, "objectness", backbone, f"binary_{head_type}"
     )

@@ -15,6 +15,7 @@ import numpy as np
 
 from midvision_probe_tpu.config import instantiate, main
 from midvision_probe_tpu.engine.driver_common import (
+    probe_dtype_kwargs,
     build_backbone,
     build_loader,
     emit_csv,
@@ -44,7 +45,8 @@ def run(cfg):
     test_loader = build_loader(cfg.dataset, "test", cfg.batch_size)
 
     uncertainty_aware = bool(cfg.probe.get("uncertainty_aware", False))
-    probe = instantiate(cfg.probe, feat_dim=backbone.feat_dim)
+    probe = instantiate(cfg.probe, feat_dim=backbone.feat_dim,
+                        **probe_dtype_kwargs(cfg))
     exp_name, exp_dir, logger, wandb = setup_experiment(
         cfg, "snorm", backbone, probe.name_tag
     )
