@@ -12,6 +12,7 @@ import numpy as np
 
 from midvision_probe_tpu.config import instantiate, main
 from midvision_probe_tpu.engine.driver_common import (
+    probe_dtype_kwargs,
     build_backbone,
     build_loader,
     emit_csv,
@@ -43,6 +44,7 @@ def run(cfg):
     probe_kwargs = {"feat_dim": backbone.feat_dim}
     if "output_dim" in cfg.probe:
         probe_kwargs["output_dim"] = out_ch
+    probe_kwargs.update(probe_dtype_kwargs(cfg))
     probe = instantiate(cfg.probe, **probe_kwargs)
     tag = getattr(probe, "name_tag", f"taskonomy_{head_type}")
     exp_name, exp_dir, logger, wandb = setup_experiment(
