@@ -20,6 +20,7 @@ finetuning is intentionally out of scope (matching actual reference usage).
 from __future__ import annotations
 
 import dataclasses
+import os
 import time
 from typing import Any, Callable, NamedTuple
 
@@ -67,16 +68,20 @@ class ProbeTrainer:
     seed: int = 8
     # Cache frozen features across epochs (requires a deterministic loader:
     # shuffle off, augment off): extraction runs once, later epochs train the
-    # probe alone — the dominant cost of the reference's 10-epoch recipe
-    # disappears (its hot loop re-extracts every epoch,
-    # train_depth.py:104-110). Features are held host-side in float16; sized
-    # for subsampled probing runs and the eval pipelines, not for the full
-    # NYU train set.
+    # probe alone (the reference hot loop re-extracts every epoch,
+    # train_depth.py:104-110). Features are held host-side in bfloat16 under
+    # a RAM budget ($MVP_FEATURE_CACHE_GB, default 8 GiB) — batches past the
+    # budget simply recompute, so memory stays bounded at any dataset scale
+    # (full NYU would need ~350 GB raw).
     cache_features: bool = False
 
     def __post_init__(self):
         self.mesh = make_mesh(self.num_devices)
         self._feature_cache: dict[int, list] = {}
+        self._cache_bytes = 0
+        self._cache_budget = int(float(os.environ.get(
+            "MVP_FEATURE_CACHE_GB", "8")) * 1024**3)
+        self._cache_full_warned = False
         self._extract_jit = None
         self.tap_norms = (
             TapNorms(num_taps=len(self.backbone.multilayers))
@@ -204,9 +209,20 @@ class ProbeTrainer:
                 cached = self._feature_cache.get(i)
                 if cached is None:
                     feats = self._extract(batch["image"])
-                    # np.asarray keeps bfloat16 (ml_dtypes) — same dtype on
-                    # both paths, so the step never recompiles
-                    self._feature_cache[i] = [np.asarray(f) for f in feats]
+                    size = sum(
+                        f.size * f.dtype.itemsize for f in feats)
+                    if self._cache_bytes + size <= self._cache_budget:
+                        # np.asarray keeps bfloat16 (ml_dtypes) — same dtype
+                        # on both paths, so the step never recompiles
+                        self._feature_cache[i] = [np.asarray(f)
+                                                  for f in feats]
+                        self._cache_bytes += size
+                    elif logger and not self._cache_full_warned:
+                        self._cache_full_warned = True
+                        logger.warning(
+                            "feature cache budget reached (%.1f GiB, "
+                            "$MVP_FEATURE_CACHE_GB) — later batches "
+                            "recompute", self._cache_budget / 1024**3)
                 else:
                     feats = [jax.device_put(f) for f in cached]
                 self.state, loss = self._train_step(self.state, batch, feats)
