@@ -174,7 +174,12 @@ class DIFT:
         if categories is not None:
             prompts = [f"a photo of a {c}" for c in categories]
         if prompts is None:
-            prompts = [""] * batch
+            # empty-prompt embedding is constant — encode once, broadcast
+            # (the reference's null-prompt DIFT path, dift_sd.py:186-214)
+            if self._empty_embed is None:
+                self._empty_embed = self._prompt_embeds(1, prompts=[""])
+            return jnp.broadcast_to(
+                self._empty_embed, (batch,) + self._empty_embed.shape[1:])
         try:
             return self.featurizer.encode_prompt(prompts)
         except Exception as e:  # tokenizer absent: zero-context fallback

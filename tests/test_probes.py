@@ -291,3 +291,25 @@ def test_tap_norms_train_and_eval(rng):
     np.testing.assert_allclose(m, 0, atol=1e-4)
     out_eval = tn.apply(v, feats, train=False)
     assert out_eval[0].shape == feats[0].shape
+
+
+def test_dpt_bf16_close_to_f32(rng):
+    """system.probe_dtype=bfloat16 (mixed precision) must stay close to the
+    f32 DPT prediction — the fast-suite lever's accuracy check."""
+    import jax
+    import jax.numpy as jnp
+
+    from midvision_probe_tpu.models.probes import DepthHead
+
+    feats = [jnp.asarray(rng.randn(2, 8, 8, 48).astype(np.float32))
+             for _ in range(4)]
+    kw = dict(feat_dim=[48] * 4, head_type="dpt",
+              prediction_type="bindepth", hidden_dim=32, kernel_size=3)
+    head32 = DepthHead(dtype=jnp.float32, **kw)
+    head16 = DepthHead(dtype=jnp.bfloat16, **kw)
+    variables = head32.init(jax.random.PRNGKey(0), feats)
+    p32 = np.asarray(head32.apply(variables, feats))
+    p16 = np.asarray(head16.apply(variables, feats))  # same f32 params
+    # depth range ~[0, 10]; bf16 compute should agree to ~cm level
+    assert np.abs(p32 - p16).max() < 0.15
+    assert np.abs(p32 - p16).mean() < 0.02
