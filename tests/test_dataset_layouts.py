@@ -175,3 +175,69 @@ def test_navi_pair_layout(tmp_path):
     assert len(ds) >= 1
     item = ds[0]
     assert "image_0" in item or "image" in item  # pair schema
+
+
+def test_voc_layout(tmp_path):
+    """VOC2012 trainval tree: JPEGImages/*.jpg + SegmentationObject/*.png
+    (palette ids; 255 = boundary) + Annotations/*.xml object counts
+    (voc.py:60-102)."""
+    import xml.etree.ElementTree as ET  # noqa: F401 — format doc
+
+    from midvision_probe_tpu.datasets.voc import VOC
+
+    rng = np.random.RandomState(7)
+    root = tmp_path / "VOC2012"
+    for stem, n_obj in [("2007_000032", 2), ("2007_000039", 1)]:
+        img = rng.randint(0, 255, (60, 80, 3), dtype=np.uint8)
+        _png(str(root / "JPEGImages" / f"{stem}.jpg"), img)
+        seg = np.zeros((60, 80), np.uint8)
+        seg[10:30, 10:40] = 1
+        if n_obj > 1:
+            seg[35:55, 45:75] = 2
+        seg[0, :] = 255  # void boundary label
+        _png(str(root / "SegmentationObject" / f"{stem}.png"), seg)
+        os.makedirs(root / "Annotations", exist_ok=True)
+        objs = "".join(
+            f"<object><name>cat</name></object>" for _ in range(n_obj))
+        (root / "Annotations" / f"{stem}.xml").write_text(
+            f"<annotation>{objs}</annotation>")
+
+    ds = VOC(split="trainval",
+             trainval_path=str(root / "SegmentationObject"),
+             trainval_jpeg_dir=str(root / "JPEGImages"),
+             trainval_xml_dir=str(root / "Annotations"),
+             fixed_size=96)
+    assert len(ds) == 2
+    item = ds[0]
+    assert item["image"].shape == (96, 96, 3)
+    assert item["mask"].shape == (96, 96, 1)
+    assert set(np.unique(item["mask"])) <= {0.0, 1.0}
+    assert item["num_objects"] == 2
+
+
+def test_twoafc_layout(tmp_path):
+    """NIGHTS data.csv column order (id, _, p, _, ref, left, right paths) +
+    votes >= 6 filter (twoafcdataset.py:22-24, :46-58)."""
+    from midvision_probe_tpu.datasets.twoafc import TwoAFCDataset
+
+    rng = np.random.RandomState(9)
+    root = tmp_path / "nights"
+    rows = ["id,prompt,p,votes_extra,ref_path,left_path,right_path,votes,"
+            "split,is_imagenet"]
+    for i, (votes, split) in enumerate(
+            [(7, "train"), (5, "train"), (6, "test"), (6, "test")]):
+        for part in ("ref", "left", "right"):
+            img = rng.randint(0, 255, (32, 32, 3), dtype=np.uint8)
+            _png(str(root / "distort" / f"{i}_{part}.png"), img)
+        is_in = "True" if i == 3 else "False"
+        rows.append(f"{i},x,1.0,0,distort/{i}_ref.png,distort/{i}_left.png,"
+                    f"distort/{i}_right.png,{votes},{split},{is_in}")
+    (root / "data.csv").write_text("\n".join(rows) + "\n")
+
+    train = TwoAFCDataset(str(root), split="train")
+    assert len(train) == 1  # votes>=6 filter drops the 5-vote row
+    item = train[0]
+    assert item["img_ref"].shape[-1] == 3
+    assert item["p"] == 1.0
+    assert len(TwoAFCDataset(str(root), split="test_imagenet")) == 1
+    assert len(TwoAFCDataset(str(root), split="test_no_imagenet")) == 1
