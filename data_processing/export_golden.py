@@ -28,6 +28,9 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(
     0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+sys.path.insert(
+    0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
+                    "tests"))
 
 # families with a full-size independent torch forward available.
 # grid/size: golden forward resolution (grid*patch); taps: ViT-B multilayers.
@@ -35,8 +38,19 @@ VIT_GOLDENS = {
     "dino_vitb16": dict(kind="timm"),
     "ibot_vitb16": dict(kind="timm"),
     "eva_vitb16": dict(kind="timm"),
+    "milan_vitb16": dict(kind="timm"),
     "mocov3_vitb16": dict(kind="timm"),
     "croco_vitb16": dict(kind="timm", class_token=False, sincos=True),
+    "dinov2_vitb14": dict(kind="timm", size=518, grid=37,
+                          replica=dict(patch=14, grid=37, layerscale=True,
+                                       ls_naming="ls")),
+    "deit3_vitb16": dict(kind="timm", size=384, grid=24,
+                         replica=dict(grid=24, layerscale=True)),
+    "siglip_vitb16": dict(kind="timm", size=384, grid=24,
+                          class_token=False,
+                          replica=dict(grid=24, class_token=False)),
+    "beitv2_vitb16": dict(kind="beit"),
+    "clip_vitb16": dict(kind="clip"),
     "mae_vitb16": dict(kind="hf"),
     "radio_v2": dict(kind="radio", size=256, grid=16,
                      taps=(7, 15, 23, 31)),
@@ -64,6 +78,30 @@ def _torch_vit_taps(name, spec, trunk_sd, x):
 
     taps_idx = spec.get("taps", VIT_TAPS)
     grid = spec.get("grid", 14)
+
+    if spec["kind"] == "beit":
+        from test_beit import _BEiT
+
+        t = _BEiT(dim=768, heads=12, depth=12, patch=16, img=16 * grid,
+                  mlp_ratio=4.0).eval()
+        t.load_state_dict(trunk_sd)
+        with torch.no_grad():
+            taps = t(torch.from_numpy(x))
+        return [_tokens_to_dense(taps[i].numpy(), 1, grid) for i in taps_idx]
+
+    if spec["kind"] == "clip":
+        from test_convert_extra import _CLIPVisual
+
+        t = _CLIPVisual(d=768, heads=12, depth=12, patch=16,
+                        img=16 * grid).eval()
+        sub = {k[len("visual."):]: v for k, v in trunk_sd.items()
+               if k.startswith("visual.")}
+        missing, unexpected = t.load_state_dict(sub, strict=False)
+        assert not missing, missing
+        assert all(k.startswith(("ln_post.", "proj")) for k in unexpected)
+        with torch.no_grad():
+            taps = t(torch.from_numpy(x))
+        return [_tokens_to_dense(taps[i].numpy(), 1, grid) for i in taps_idx]
 
     if spec["kind"] == "radio":
         t = RadioViT(dim=1280, depth=32, heads=16, patch=16,
@@ -94,15 +132,18 @@ def _torch_vit_taps(name, spec, trunk_sd, x):
                 for i in taps_idx]
 
     cls = spec.get("class_token", True)
-    t = TimmViT(dim=768, depth=12, heads=12, patch=16, grid=14,
-                class_token=cls).eval()
+    rep_kw = dict(dim=768, depth=12, heads=12, patch=16, grid=14,
+                  class_token=cls)
+    rep_kw.update(spec.get("replica", {}))
+    t = TimmViT(**rep_kw).eval()
     missing, unexpected = t.load_state_dict(trunk_sd, strict=False)
     allowed_missing = {"pos_embed"} if spec.get("sincos") else set()
     assert set(missing) <= allowed_missing, f"{name}: missing {missing}"
     assert all(k.startswith(("head.",)) for k in unexpected), (
         f"{name}: unexpected {unexpected}")
     if spec.get("sincos"):
-        t.pos_embed.data = sincos2d_pos_embed(768, 14, cls_row=cls)
+        t.pos_embed.data = sincos2d_pos_embed(768, rep_kw["grid"],
+                                              cls_row=cls)
     with torch.no_grad():
         taps = t(torch.from_numpy(x))
     return [_tokens_to_dense(taps[i].numpy(), 1 if cls else 0, grid)

@@ -53,6 +53,51 @@ def _vitb(seed, **kw):
                    seed=seed, **kw).state_dict()
 
 
+def _beit_vitb(seed):
+    """Full BEiT-v2 trunk (q/v-only bias, per-block rel-pos tables,
+    LayerScale) via the tests replica, init-scaled for golden stability."""
+    import sys as _sys
+
+    _sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "..", "tests"))
+    from test_beit import _BEiT
+
+    torch.manual_seed(seed)
+    t = _BEiT(dim=768, heads=12, depth=12, patch=16, img=224, mlp_ratio=4.0)
+    for m in t.modules():
+        if isinstance(m, (torch.nn.Linear, torch.nn.Conv2d)):
+            torch.nn.init.trunc_normal_(m.weight, std=0.02)
+            if m.bias is not None:
+                torch.nn.init.zeros_(m.bias)
+    return t.state_dict()
+
+
+def _clip_visual(seed):
+    """OpenAI CLIP .pt layout: ``visual.*`` open_clip naming + text-tower
+    junk the converter's prefix filter must skip."""
+    import sys as _sys
+
+    _sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "..", "tests"))
+    from test_convert_extra import _CLIPVisual
+
+    torch.manual_seed(seed)
+    t = _CLIPVisual(d=768, heads=12, depth=12, patch=16, img=224)
+    for m in t.modules():
+        if isinstance(m, (torch.nn.Linear, torch.nn.Conv2d)):
+            torch.nn.init.trunc_normal_(m.weight, std=0.02)
+            if getattr(m, "bias", None) is not None:
+                torch.nn.init.zeros_(m.bias)
+    sd = {f"visual.{k}": v for k, v in t.state_dict().items()}
+    sd["visual.ln_post.weight"] = torch.ones(768)
+    sd["visual.ln_post.bias"] = torch.zeros(768)
+    sd["visual.proj"] = torch.randn(768, 512) * 0.02
+    sd["token_embedding.weight"] = torch.zeros(49408, 512)  # text junk
+    sd["transformer.resblocks.0.ln_1.weight"] = torch.ones(512)
+    sd["logit_scale"] = torch.tensor(4.6052)
+    return sd
+
+
 def build_all() -> dict[str, object]:
     """filename -> torch-saveable object, all layouts genuine."""
     out = {}
@@ -60,9 +105,34 @@ def build_all() -> dict[str, object]:
     # raw flat timm (facebookresearch/dino hub file stores the plain sd)
     out["dino_vitb16.pth"] = _vitb(seed=1)
 
-    # {'state_dict': ...} container (bytedance iBOT checkpoint_teacher.pth)
-    sd = _vitb(seed=2)
-    sd["head.mlp.0.weight"] = torch.zeros(2048, 768)  # DINO-head junk
+    # DINOv2 hub file: flat timm + ls1/ls2.gamma LayerScale naming, patch 14
+    out["dinov2_vitb14.pth"] = TimmViT(
+        dim=768, depth=12, heads=12, patch=14, grid=37, layerscale=True,
+        ls_naming="ls", seed=20).state_dict()
+
+    # DeiT-III hub file: {'model': ...} with gamma_1/2 LayerScale, 384px
+    out["deit_3_base_384_21k.pth"] = {
+        "model": TimmViT(dim=768, depth=12, heads=12, patch=16, grid=24,
+                         layerscale=True, seed=22).state_dict()}
+
+    # MILAN gdrive file: {'model': plain timm}
+    out["milan_vitb16.pth"] = {"model": _vitb(seed=23)}
+
+    # BEiT-v2 gdrive file: {'model': q/v-bias + rel-pos + LayerScale trunk}
+    out["beitv2_vitb16.pth"] = {"model": _beit_vitb(seed=24)}
+
+    # open_clip .pt: raw visual.* + text junk
+    out["clip_vitb16_openai.pt"] = _clip_visual(seed=26)
+
+    # timm SigLIP: flat, no class token, 384px
+    out["siglip_vitb16_384.bin"] = TimmViT(
+        dim=768, depth=12, heads=12, patch=16, grid=24, class_token=False,
+        seed=27).state_dict()
+
+    # {'state_dict': ...} container with module. prefixes (bytedance iBOT
+    # checkpoint_teacher.pth; ibot.py:55-56 strips them)
+    sd = {f"module.{k}": v for k, v in _vitb(seed=2).items()}
+    sd["module.head.mlp.0.weight"] = torch.zeros(2048, 768)  # head junk
     out["ibot_vitb16.pth"] = {"state_dict": sd, "epoch": 1000}
 
     # MoCo v3 ViT triple-encoder container

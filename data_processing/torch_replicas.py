@@ -49,8 +49,17 @@ class TimmAttention(nn.Module):
         return self.proj((attn @ v).transpose(1, 2).reshape(B, N, C))
 
 
+class _LSGamma(nn.Module):
+    """DINOv2 LayerScale submodule naming (``blocks.N.ls1.gamma``)."""
+
+    def __init__(self, dim, init=1e-4):
+        super().__init__()
+        self.gamma = nn.Parameter(init * torch.ones(dim))
+
+
 class TimmBlock(nn.Module):
-    def __init__(self, dim, heads, mlp_ratio, layerscale=False, eps=1e-6):
+    def __init__(self, dim, heads, mlp_ratio, layerscale=False, eps=1e-6,
+                 ls_naming="gamma"):
         super().__init__()
         self.norm1 = nn.LayerNorm(dim, eps=eps)
         self.attn = TimmAttention(dim, heads)
@@ -59,17 +68,30 @@ class TimmBlock(nn.Module):
         self.mlp.fc1 = nn.Linear(dim, int(dim * mlp_ratio))
         self.mlp.act = nn.GELU()
         self.mlp.fc2 = nn.Linear(int(dim * mlp_ratio), dim)
-        if layerscale:
+        self._ls = None
+        if layerscale and ls_naming == "ls":
+            self.ls1 = _LSGamma(dim)
+            self.ls2 = _LSGamma(dim)
+            self._ls = "ls"
+        elif layerscale:
             self.gamma_1 = nn.Parameter(1e-4 * torch.ones(dim))
             self.gamma_2 = nn.Parameter(1e-4 * torch.ones(dim))
-        else:
-            self.gamma_1 = self.gamma_2 = None
+            self._ls = "gamma"
+
+    def _g(self, which):
+        if self._ls == "ls":
+            return (self.ls1 if which == 1 else self.ls2).gamma
+        if self._ls == "gamma":
+            return self.gamma_1 if which == 1 else self.gamma_2
+        return None
 
     def forward(self, x):
         h = self.attn(self.norm1(x))
-        x = x + (h if self.gamma_1 is None else self.gamma_1 * h)
+        g1 = self._g(1)
+        x = x + (h if g1 is None else g1 * h)
         h = self.mlp.fc2(self.mlp.act(self.mlp.fc1(self.norm2(x))))
-        return x + (h if self.gamma_2 is None else self.gamma_2 * h)
+        g2 = self._g(2)
+        return x + (h if g2 is None else g2 * h)
 
 
 class TimmViT(nn.Module):
@@ -77,7 +99,7 @@ class TimmViT(nn.Module):
 
     def __init__(self, dim=768, depth=12, heads=12, patch=16, grid=14,
                  mlp_ratio=4.0, layerscale=False, class_token=True,
-                 final_norm=True, eps=1e-6, seed=0):
+                 final_norm=True, eps=1e-6, seed=0, ls_naming="gamma"):
         super().__init__()
         torch.manual_seed(seed)
         self.patch_embed = nn.Sequential()
@@ -87,7 +109,7 @@ class TimmViT(nn.Module):
             self.cls_token = nn.Parameter(torch.zeros(1, 1, dim))
         self.pos_embed = nn.Parameter(torch.zeros(1, n, dim))
         self.blocks = nn.ModuleList(
-            [TimmBlock(dim, heads, mlp_ratio, layerscale, eps)
+            [TimmBlock(dim, heads, mlp_ratio, layerscale, eps, ls_naming)
              for _ in range(depth)]
         )
         if final_norm:

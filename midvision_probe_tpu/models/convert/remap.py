@@ -73,7 +73,20 @@ def unwrap_checkpoint(ckpt: Any, source: str) -> dict:
     if source == "raw":
         return dict(ckpt)
     if source == "state_dict":
-        return dict(ckpt.get("state_dict", ckpt))
+        # covers the common single-key containers: iBOT/MILAN-style
+        # {'state_dict': ...} and DeiT/BEiT-v2/MiDaS hub {'model': ...}
+        # (deit_utils.py:511, beit_v2.py:83, milan.py:67, ibot.py:55);
+        # iBOT teacher weights additionally carry 'module.' prefixes
+        sd = ckpt
+        for key in ("state_dict", "model"):
+            if isinstance(sd, Mapping) and key in sd:
+                sd = sd[key]
+                break
+        out = dict(sd)
+        if any(k.startswith("module.") for k in out):
+            out = {k[len("module."):] if k.startswith("module.") else k: v
+                   for k, v in out.items()}
+        return out
     if source == "vissl":
         trunk = ckpt["classy_state_dict"]["base_model"]["model"]["trunk"]
         return prepare_state_dict(

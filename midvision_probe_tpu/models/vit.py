@@ -238,8 +238,10 @@ class Attention(nn.Module):
                 (num_rel, c.num_heads),
                 jnp.float32,
             )
+            # converted variables hold raw numpy leaves; lift the table into
+            # jnp before fancy-indexing (numpy would reject a traced index)
             idx = jnp.asarray(_rel_pos_index((h, w)))
-            bias = jnp.transpose(table[idx], (2, 0, 1))[None]  # (1, H, N, N)
+            bias = jnp.transpose(jnp.asarray(table)[idx], (2, 0, 1))[None]
 
         from midvision_probe_tpu.ops.attention import multi_head_attention
 

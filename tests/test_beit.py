@@ -80,14 +80,15 @@ class _BEiTBlock(nn.Module):
 
 
 class _BEiT(nn.Module):
-    def __init__(self, dim=32, heads=2, depth=2, patch=8, img=24):
+    def __init__(self, dim=32, heads=2, depth=2, patch=8, img=24,
+                 mlp_ratio=2.0):
         super().__init__()
         self.patch_embed = nn.Sequential()
         self.patch_embed.proj = nn.Conv2d(3, dim, patch, patch)
         self.cls_token = nn.Parameter(torch.randn(1, 1, dim) * 0.02)
         g = img // patch
         self.blocks = nn.ModuleList(
-            [_BEiTBlock(dim, heads, (g, g)) for _ in range(depth)]
+            [_BEiTBlock(dim, heads, (g, g), mlp_ratio) for _ in range(depth)]
         )
 
     def forward(self, x):
