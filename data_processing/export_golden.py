@@ -50,6 +50,13 @@ VIT_GOLDENS = {
                           class_token=False,
                           replica=dict(grid=24, class_token=False)),
     "beitv2_vitb16": dict(kind="beit"),
+    "midas_l16": dict(kind="beit", size=384, grid=24,
+                      taps=(5, 11, 17, 23), strip="pretrained.model.",
+                      replica=dict(dim=1024, heads=16, depth=24)),
+    "sam_vit_b": dict(kind="sam", size=1024, grid=64,
+                      taps=(2, 5, 8, 11)),
+    "cnxt_b_in22k": dict(kind="convnext", size=224,
+                         taps=(0, 1, 2, 3)),
     "clip_vitb16": dict(kind="clip"),
     "mae_vitb16": dict(kind="hf"),
     "radio_v2": dict(kind="radio", size=256, grid=16,
@@ -82,12 +89,55 @@ def _torch_vit_taps(name, spec, trunk_sd, x):
     if spec["kind"] == "beit":
         from test_beit import _BEiT
 
-        t = _BEiT(dim=768, heads=12, depth=12, patch=16, img=16 * grid,
-                  mlp_ratio=4.0).eval()
-        t.load_state_dict(trunk_sd)
+        rep_kw = dict(dim=768, heads=12, depth=12)
+        rep_kw.update(spec.get("replica", {}))
+        t = _BEiT(patch=16, img=16 * grid, mlp_ratio=4.0, **rep_kw).eval()
+        strip = spec.get("strip", "")
+        sub = {k[len(strip):]: v for k, v in trunk_sd.items()
+               if k.startswith(strip)} if strip else trunk_sd
+        t.load_state_dict(sub)
         with torch.no_grad():
             taps = t(torch.from_numpy(x))
         return [_tokens_to_dense(taps[i].numpy(), 1, grid) for i in taps_idx]
+
+    if spec["kind"] == "sam":
+        import transformers
+
+        hf_cfg = transformers.SamVisionConfig(
+            hidden_size=768, num_hidden_layers=12, num_attention_heads=12,
+            image_size=1024, patch_size=16, window_size=14,
+            global_attn_indexes=[2, 5, 8, 11], mlp_dim=3072,
+        )
+        hf = transformers.SamVisionModel(hf_cfg).eval()
+        sub = {}
+        for k, v in trunk_sd.items():
+            if not k.startswith("image_encoder."):
+                continue
+            k = k.replace("image_encoder.", "vision_encoder.")
+            k = k.replace("blocks.", "layers.")
+            k = k.replace("norm1", "layer_norm1").replace(
+                "norm2", "layer_norm2")
+            k = k.replace("patch_embed.proj", "patch_embed.projection")
+            sub[k] = v
+        missing, unexpected = hf.load_state_dict(sub, strict=False)
+        assert all("neck" in k for k in missing), missing
+        with torch.no_grad():
+            out = hf(torch.from_numpy(x), output_hidden_states=True)
+        # SAM hidden states are already (B, H, W, C) maps
+        return [out.hidden_states[i + 1].numpy().transpose(0, 3, 1, 2)
+                for i in taps_idx]
+
+    if spec["kind"] == "convnext":
+        from test_convert_extra import _TorchConvNeXt
+
+        t = _TorchConvNeXt(depths=(3, 3, 27, 3),
+                           dims=(128, 256, 512, 1024)).eval()
+        sub = {k.replace("stem.1", "stem_norm"): v
+               for k, v in trunk_sd.items() if not k.startswith("head.")}
+        t.load_state_dict(sub)
+        with torch.no_grad():
+            taps = t(torch.from_numpy(x))
+        return [taps[i].numpy() for i in taps_idx]
 
     if spec["kind"] == "clip":
         from test_convert_extra import _CLIPVisual
@@ -202,8 +252,15 @@ def verify(golden_dir: str, atol: float = 2e-3) -> int:
             continue
         name = f[:-4]
         data = np.load(os.path.join(golden_dir, f))
-        if zoo.ZOO[name].arch == "resnet":
+        arch = zoo.ZOO[name].arch
+        if arch == "resnet":
             m = zoo.build_resnet_extractor(name, return_multilayer=True)
+        elif arch == "sam":
+            m = zoo.build_sam_extractor(name, return_multilayer=True)
+        elif arch == "convnext":
+            # raw stage maps (goldens are pre-resize stage outputs)
+            m = zoo.build_convnext_extractor(name, return_multilayer=True,
+                                             output="raw")
         else:
             m = zoo.build_vit_extractor(
                 name, return_multilayer=True,

@@ -72,6 +72,82 @@ def _beit_vitb(seed):
     return t.state_dict()
 
 
+def _beit_large_midas(seed):
+    """MiDaS dpt_beit_large_384: flat sd with pretrained.model.* trunk
+    (BEiT-L, rel-pos, LayerScale) + scratch.* DPT-head junk
+    (midas_final.py:83-87; zoo prefix='pretrained.model.')."""
+    import sys as _sys
+
+    _sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "..", "tests"))
+    from test_beit import _BEiT
+
+    torch.manual_seed(seed)
+    t = _BEiT(dim=1024, heads=16, depth=24, patch=16, img=384, mlp_ratio=4.0)
+    for m in t.modules():
+        if isinstance(m, (torch.nn.Linear, torch.nn.Conv2d)):
+            torch.nn.init.trunc_normal_(m.weight, std=0.02)
+            if m.bias is not None:
+                torch.nn.init.zeros_(m.bias)
+    sd = {f"pretrained.model.{k}": v for k, v in t.state_dict().items()}
+    sd["scratch.layer1_rn.weight"] = torch.zeros(256, 1024, 3, 3)
+    sd["scratch.output_conv.0.weight"] = torch.zeros(128, 256, 3, 3)
+    return sd
+
+
+def _sam_vit_b(seed):
+    """segment_anything sam_vit_b_01ec64.pth: flat sd with image_encoder.*
+    (windowed ViTDet naming) + prompt_encoder/mask_decoder junk."""
+    import transformers
+
+    torch.manual_seed(seed)
+    hf_cfg = transformers.SamVisionConfig(
+        hidden_size=768, num_hidden_layers=12, num_attention_heads=12,
+        image_size=1024, patch_size=16, window_size=14,
+        global_attn_indexes=[2, 5, 8, 11], mlp_dim=3072,
+    )
+    hf = transformers.SamVisionModel(hf_cfg)
+    for m in hf.modules():
+        if isinstance(m, (torch.nn.Linear, torch.nn.Conv2d)):
+            torch.nn.init.trunc_normal_(m.weight, std=0.02)
+            if m.bias is not None:
+                torch.nn.init.zeros_(m.bias)
+    sd = {}
+    for k, v in hf.state_dict().items():
+        k = k.replace("vision_encoder.", "image_encoder.")
+        k = k.replace("layers.", "blocks.")
+        k = k.replace("layer_norm1", "norm1").replace("layer_norm2", "norm2")
+        k = k.replace("patch_embed.projection", "patch_embed.proj")
+        sd[k] = v
+    sd["prompt_encoder.pe_layer.positional_encoding_gaussian_matrix"] = (
+        torch.zeros(2, 128))
+    sd["mask_decoder.iou_token.weight"] = torch.zeros(1, 256)
+    return sd
+
+
+def _convnext_b(seed):
+    """timm convnext_base_in22k: flat timm naming (stem.0 conv + stem.1 LN,
+    stages.N.downsample/blocks)."""
+    import sys as _sys
+
+    _sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "..", "tests"))
+    from test_convert_extra import _TorchConvNeXt
+
+    torch.manual_seed(seed)
+    t = _TorchConvNeXt(depths=(3, 3, 27, 3), dims=(128, 256, 512, 1024))
+    for m in t.modules():
+        if isinstance(m, (torch.nn.Linear, torch.nn.Conv2d)):
+            torch.nn.init.trunc_normal_(m.weight, std=0.02)
+            if m.bias is not None:
+                torch.nn.init.zeros_(m.bias)
+    sd = {}
+    for k, v in t.state_dict().items():
+        sd[k.replace("stem_norm", "stem.1")] = v
+    sd["head.fc.weight"] = torch.zeros(21841, 1024)  # in22k classifier junk
+    return sd
+
+
 def _clip_visual(seed):
     """OpenAI CLIP .pt layout: ``visual.*`` open_clip naming + text-tower
     junk the converter's prefix filter must skip."""
@@ -155,6 +231,11 @@ def build_all() -> dict[str, object]:
     out["radio_v2.pth.tar"] = wrap_radio(
         RadioViT(dim=1280, depth=32, heads=16, patch=16, grid=16,
                  seed=9).state_dict())
+
+    # MiDaS DPT-BEiT-L/16-384, SAM ViT-B, ConvNeXt-B (timm)
+    out["dpt_beit_large_384.pt"] = _beit_large_midas(seed=28)
+    out["sam_vit_b_01ec64.pth"] = _sam_vit_b(seed=29)
+    out["convnext_base_in22k.pth"] = _convnext_b(seed=30)
 
     # VISSL .torch (SimCLR) + MoCo v2 containers around a torchvision R50
     out["simclr_resnet50.torch"] = wrap_vissl(TorchResNet50(seed=7).state_dict())

@@ -655,8 +655,9 @@ def build_convnext_extractor(
         if output == "dense":
             maps = [_resize(m.astype(jnp.float32), out_hw, mode="bilinear")
                     for m in maps]
-        else:  # gap
+        elif output == "gap":
             maps = [m.mean(axis=(1, 2)) for m in maps]
+        # output == "raw": native stage resolutions (converter validation)
         return maps, None
 
     return FeatureExtractor(
