@@ -76,7 +76,8 @@ def measure_backbone(name: str, batch: int, hw=(480, 480),
         bb = zoo.build_vit_extractor(name, return_multilayer=multilayer,
                                      dtype=jnp.bfloat16, init_size=224)
     probe = DepthHead(feat_dim=bb.feat_dim, head_type=head_type,
-                      prediction_type="bindepth", dtype=probe_dtype)
+                      prediction_type="bindepth", kernel_size=3,  # protocol
+                      dtype=probe_dtype)
     tap_norms = TapNorms(num_taps=len(bb.multilayers))
 
     rng_np = np.random.RandomState(0)
@@ -216,10 +217,10 @@ def main(argv=None):
         f"~{suite_linear/3600/4:.2f} h on v4-8 — "
         f"{'MET' if suite_linear/4 < 3600 else 'NOT MET'}.**",
         "",
-        "Context: the paper protocol's DPT probe is ~650 GF/img forward — "
-        "the train step, not feature extraction, dominates; cache_features "
-        "only removes the (smaller) extraction term. The <1 hr target is "
-        "reachable with the linear-probe preset or a shorter schedule.",
+        "Context: the paper protocol's DPT probe dominates the train step "
+        "and already runs near its MFU ceiling; cache_features only removes "
+        "the smaller extraction term. Meeting <1 h needs either the linear "
+        "preset on more chips or a shorter schedule.",
     ]
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     with open(args.out, "w") as f:
