@@ -14,6 +14,8 @@ import dataclasses
 from typing import Any, Sequence
 
 import flax.linen as nn
+
+from midvision_probe_tpu.ops.activations import gelu
 import jax.numpy as jnp
 
 
@@ -39,7 +41,7 @@ class ConvNeXtBlock(nn.Module):
         )(x)
         h = nn.LayerNorm(epsilon=c.layernorm_eps, dtype=c.dtype, name="norm")(h)
         h = nn.Dense(4 * self.dim, dtype=c.dtype, name="pwconv1")(h)
-        h = nn.gelu(h, approximate=False)
+        h = gelu(h)
         if c.use_grn:
             gx = jnp.sqrt(jnp.sum(h.astype(jnp.float32) ** 2, axis=(1, 2),
                                   keepdims=True))

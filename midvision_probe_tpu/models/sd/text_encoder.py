@@ -11,6 +11,8 @@ import dataclasses
 from typing import Any
 
 import flax.linen as nn
+
+from midvision_probe_tpu.ops.activations import gelu
 import jax
 import jax.numpy as jnp
 
@@ -57,7 +59,7 @@ class _TextBlock(nn.Module):
         if c.act == "quickgelu":
             h = h * nn.sigmoid(1.702 * h)
         else:
-            h = nn.gelu(h, approximate=False)
+            h = gelu(h)
         h = nn.Dense(C, dtype=c.dtype, name="fc2")(h)
         return x + h
 

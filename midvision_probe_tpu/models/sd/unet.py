@@ -23,6 +23,8 @@ import math
 from typing import Any, Sequence
 
 import flax.linen as nn
+
+from midvision_probe_tpu.ops.activations import gelu
 import jax
 import jax.numpy as jnp
 
@@ -132,7 +134,7 @@ class TransformerBlock(nn.Module):
         # GEGLU feed-forward
         g = nn.Dense(self.dim * 8, dtype=c.dtype, name="ff_proj")(h)
         a, b = jnp.split(g, 2, axis=-1)
-        h = a * nn.gelu(b, approximate=False)
+        h = a * gelu(b)
         x = x + nn.Dense(self.dim, dtype=c.dtype, name="ff_out")(h)
         return x
 

@@ -29,6 +29,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from midvision_probe_tpu.ops.activations import gelu
 from midvision_probe_tpu.ops.image import resize
 from midvision_probe_tpu.ops.rope2d import rope_2d
 
@@ -154,7 +155,7 @@ class Mlp(nn.Module):
         if c.act == "quickgelu":  # openai CLIP: x * sigmoid(1.702 x)
             x = x * nn.sigmoid(1.702 * x)
         else:
-            x = nn.gelu(x, approximate=False)
+            x = gelu(x)  # erf in f32, tanh in bf16 (ops/activations.py)
         return x @ w2.astype(c.dtype) + b2.astype(c.dtype)
 
 

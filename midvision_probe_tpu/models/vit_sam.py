@@ -21,6 +21,8 @@ import dataclasses
 from typing import Any, Sequence
 
 import flax.linen as nn
+
+from midvision_probe_tpu.ops.activations import gelu
 import jax
 import jax.numpy as jnp
 
@@ -155,7 +157,7 @@ class SAMBlock(nn.Module):
         x = shortcut + h
         h = nn.LayerNorm(epsilon=c.layernorm_eps, dtype=c.dtype, name="norm2")(x)
         h = nn.Dense(int(c.width * c.mlp_ratio), dtype=c.dtype, name="mlp_lin1")(h)
-        h = nn.gelu(h, approximate=False)
+        h = gelu(h)
         h = nn.Dense(c.width, dtype=c.dtype, name="mlp_lin2")(h)
         return x + h
 
