@@ -178,12 +178,31 @@ def _rel_pos_index(window: tuple[int, int]) -> np.ndarray:
     return idx
 
 
+# test hook: force the fused-attention + whole-network-padding path with
+# Pallas in interpret mode on CPU (tests/test_vit_attention.py)
+_FORCE_INTERPRET = False
+
+
+def fused_attention_ok(c: ViTConfig, n_padded: int) -> bool:
+    """True when the single-pass fused-qkv Pallas kernel can serve a ViT of
+    config ``c`` at (padded) sequence length ``n_padded``."""
+    return (
+        not c.rope
+        and not c.rel_pos_bias
+        and (jax.default_backend() == "tpu" or _FORCE_INTERPRET)
+        and n_padded >= 256
+        and 128 % c.head_dim == 0
+        and (c.num_heads * c.head_dim) % 128 == 0
+        and n_padded * c.head_dim * 4 <= 2 * 1024 * 1024  # K+V fit in VMEM
+    )
+
+
 class Attention(nn.Module):
     cfg: ViTConfig
     layer_idx: int = 0
 
     @nn.compact
-    def __call__(self, x, pos_2d=None, grid_hw=None):
+    def __call__(self, x, pos_2d=None, grid_hw=None, n_valid=None):
         c = self.cfg
         B, N, C = x.shape
         qkv = nn.Dense(3 * C, use_bias=c.qkv_bias, dtype=c.dtype, name="qkv")(x)
@@ -196,13 +215,15 @@ class Attention(nn.Module):
         # expose raw q/k/v for the reference's return_kqv path
         # (``dino.py:82-138``); materialized only when callers request the
         # 'intermediates' collection (XLA DCEs these transposes otherwise)
-        self.sow("intermediates", "qkv_heads", (q, k, v))
+        nv = N if n_valid is None else n_valid
+        self.sow("intermediates", "qkv_heads",
+                 (q[:, :, :nv], k[:, :, :nv], v[:, :, :nv]))
 
         scale = c.head_dim**-0.5
-        use_fused = (
+        use_fused = n_valid is not None or (
             not (c.rope and pos_2d is not None)
             and not c.rel_pos_bias
-            and jax.default_backend() == "tpu"
+            and (jax.default_backend() == "tpu" or _FORCE_INTERPRET)
             and N >= 256
             and 128 % c.head_dim == 0
             and (c.num_heads * c.head_dim) % 128 == 0
@@ -211,12 +232,15 @@ class Attention(nn.Module):
         if use_fused:
             # hot path: the single-pass kernel reads q/k/v straight from the
             # (B, N, 3, H, d) projection output and writes token-major — the
-            # four (B, H, N, d) HBM transposes above never materialize
+            # four (B, H, N, d) HBM transposes above never materialize.
+            # n_valid != None: the whole network runs at a 128-padded token
+            # count (ViT.__call__) and the kernel masks the padded K/V rows.
             from midvision_probe_tpu.ops.vit_attention import (
                 fused_qkv_attention,
             )
 
-            out = fused_qkv_attention(qkv, scale).reshape(B, N, C)
+            out = fused_qkv_attention(qkv, scale, _FORCE_INTERPRET,
+                                      n_valid).reshape(B, N, C)
             return nn.Dense(C, dtype=c.dtype, name="proj")(out)
 
         if c.rope and pos_2d is not None:
@@ -257,10 +281,11 @@ class Block(nn.Module):
     layer_idx: int = 0
 
     @nn.compact
-    def __call__(self, x, pos_2d=None, grid_hw=None):
+    def __call__(self, x, pos_2d=None, grid_hw=None, n_valid=None):
         c = self.cfg
         h = nn.LayerNorm(epsilon=c.layernorm_eps, dtype=c.dtype, name="norm1")(x)
-        h = Attention(c, self.layer_idx, name="attn")(h, pos_2d, grid_hw)
+        h = Attention(c, self.layer_idx, name="attn")(h, pos_2d, grid_hw,
+                                                      n_valid)
         if c.layerscale:
             gamma1 = self.param(
                 "gamma_1", nn.initializers.ones, (c.width,), jnp.float32
@@ -371,6 +396,20 @@ class ViT(nn.Module):
             pos_2d = jnp.stack([yy.reshape(-1), xx.reshape(-1)], axis=-1)
             pos_2d = jnp.broadcast_to(pos_2d[None], (B, gh * gw, 2))
 
+        # Whole-network 128-padding: when the fused attention kernel will
+        # serve every block, pad the token axis to a 128-multiple ONCE here
+        # instead of padding/slicing the qkv tensor around the kernel in
+        # every layer (each round trip is ~1 ms of HBM traffic at the
+        # probing batch). Padded rows flow through LN/matmuls as garbage —
+        # row-wise ops keep them confined to their own rows, and the kernel
+        # masks them out of K/V — and are sliced off at tap capture.
+        n_tokens = x.shape[1]
+        n_valid = None
+        n_pad = (-n_tokens) % 128
+        if n_pad and fused_attention_ok(c, n_tokens + n_pad):
+            n_valid = n_tokens
+            x = jnp.pad(x, ((0, 0), (0, n_pad), (0, 0)))
+
         taps = list(taps)
         outputs: dict[int, jnp.ndarray] = {}
         max_tap = max(taps)
@@ -380,9 +419,10 @@ class ViT(nn.Module):
             else None
         )
         for i in range(c.depth):
-            x = Block(c, i, name=f"blocks_{i}")(x, pos_2d, (gh, gw))
+            x = Block(c, i, name=f"blocks_{i}")(x, pos_2d, (gh, gw), n_valid)
             if i in taps:
-                outputs[i] = final_norm(x) if final_norm is not None else x
+                tap = x[:, :n_tokens]
+                outputs[i] = final_norm(tap) if final_norm is not None else tap
             if i == max_tap:
                 break
 

@@ -75,7 +75,7 @@ def _softmax_rows(s2, n_valid: int, n_total: int):
 
 
 def _fused_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, n_valid: int,
-                  head_dim: int):
+                  head_dim: int, mask_kv: bool = False):
     """One instance handles a 128-lane column block = ``128 // head_dim``
     heads (Mosaic's minimum lane granularity; head_dim 64 → head pairs).
     Refs are (1, bq|Nk, 128) blocks of the (B, Npad, 3*H*d) qkv tensor."""
@@ -83,8 +83,15 @@ def _fused_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, n_valid: int,
     # of a post-multiply over the (bq, Nk) score matrix
     q = q_ref[0].astype(jnp.float32) * (scale * _LOG2E)  # (bq, 128)
     q = q.astype(q_ref.dtype)
-    k = k_ref[0]  # (Nk, 128) — zero-padded rows beyond n_valid
+    k = k_ref[0]  # (Nk, 128) — rows beyond n_valid are padding
     v = v_ref[0]
+    if mask_kv:
+        # caller-level padding carries garbage rows (they flowed through
+        # LN/matmuls); zero them here so padded columns score exactly 0.
+        # Cost: one (Nk, 128) select per tensor — off the N² hot path.
+        rows = jax.lax.broadcasted_iota(jnp.int32, k.shape, 0)
+        k = jnp.where(rows < n_valid, k, jnp.zeros_like(k))
+        v = jnp.where(rows < n_valid, v, jnp.zeros_like(v))
     npad = k.shape[0] - n_valid
     outs = []
     for j in range(q.shape[-1] // head_dim):
@@ -127,22 +134,36 @@ def _pick_block_q(nq: int, n: int) -> int:
     return best
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "interpret"))
-def _fused_forward(qkv, scale: float, interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("scale", "interpret", "n_valid"))
+def _fused_forward(qkv, scale: float, interpret: bool = False,
+                   n_valid: int | None = None):
     """qkv (B, N, 3, H, d) → (B, N, H*d), no HBM transposes.
 
     The qkv tensor is viewed flat as (B, N, 3*H*d) — the Dense projection's
     natural output, column order (role, head, j) — so a 128-wide column
     block at block-index ``role*(H*d//128) + h2`` holds heads
     [h2*g, (h2+1)*g) of that role, g = 128//d. Requires d | 128 and
-    128 | H*d (every ViT in the zoo satisfies both)."""
+    128 | H*d (every ViT in the zoo satisfies both).
+
+    ``n_valid``: if the caller runs the whole network at a 128-padded token
+    count (see ``models/vit.py`` — kills the per-layer pad/slice HBM round
+    trips), rows ≥ n_valid are garbage that flowed through LN/matmuls; the
+    kernel masks them out of K/V and the output keeps the padded length
+    (padded output rows are garbage, sliced off at tap capture). With
+    ``n_valid=None`` the input is padded internally with zeros and the
+    output is sliced back to N."""
     B, N, _, H, d = qkv.shape
     assert 128 % d == 0 and (H * d) % 128 == 0, (H, d)
     nblk = H * d // 128  # column blocks per role
     flat = qkv.reshape(B, N, 3 * H * d)
-    pad = (-N) % 128
-    flat = jnp.pad(flat, ((0, 0), (0, pad), (0, 0)))
-    Nq = N + pad
+    if n_valid is None:
+        pad = (-N) % 128
+        flat = jnp.pad(flat, ((0, 0), (0, pad), (0, 0)))
+        Nq = N + pad
+        nv, mask_kv = N, False
+    else:
+        assert N % 128 == 0 and 0 < n_valid <= N, (N, n_valid)
+        Nq, nv, mask_kv = N, n_valid, n_valid < N
     bq = _pick_block_q(Nq, Nq)
 
     def spec(role, bn):
@@ -155,7 +176,8 @@ def _fused_forward(qkv, scale: float, interpret: bool = False):
         )
 
     out = pl.pallas_call(
-        functools.partial(_fused_kernel, scale=scale, n_valid=N, head_dim=d),
+        functools.partial(_fused_kernel, scale=scale, n_valid=nv,
+                          head_dim=d, mask_kv=mask_kv),
         grid=(B, nblk, Nq // bq),
         in_specs=[spec(0, bq), spec(1, Nq), spec(2, Nq)],
         out_specs=pl.BlockSpec((1, bq, 128), lambda b, h2, i: (b, i, h2),
@@ -167,7 +189,7 @@ def _fused_forward(qkv, scale: float, interpret: bool = False):
         ),
         interpret=interpret,
     )(flat, flat, flat)
-    return out[:, :N]
+    return out if n_valid is not None else out[:, :N]
 
 
 def _fused_einsum_ref(qkv, scale):
@@ -179,23 +201,35 @@ def _fused_einsum_ref(qkv, scale):
     return jnp.einsum("bhqk,bkhd->bqhd", p, v).reshape(B, N, H * d)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
-def fused_qkv_attention(qkv, scale: float, interpret: bool = False):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def fused_qkv_attention(qkv, scale: float, interpret: bool = False,
+                        n_valid: int | None = None):
     """Non-causal attention on the fused projection output.
 
     qkv: (B, N, 3, H, d) → (B, N, H*d). TPU single-pass kernel forward;
-    einsum-math backward (cold path: frozen backbones)."""
-    return _fused_forward(qkv, scale, interpret=interpret)
+    einsum-math backward (cold path: frozen backbones). ``n_valid``: see
+    ``_fused_forward`` — rows ≥ n_valid are network-level padding, masked
+    out of K/V and kept (as garbage) in the padded output."""
+    return _fused_forward(qkv, scale, interpret=interpret, n_valid=n_valid)
 
 
-def _fused_fwd(qkv, scale, interpret):
-    return _fused_forward(qkv, scale, interpret=interpret), (qkv,)
+def _fused_fwd(qkv, scale, interpret, n_valid):
+    return _fused_forward(qkv, scale, interpret=interpret,
+                          n_valid=n_valid), (qkv,)
 
 
-def _fused_bwd(scale, interpret, res, g):
+def _fused_bwd(scale, interpret, n_valid, res, g):
     (qkv,) = res
-    _, vjp = jax.vjp(lambda x: _fused_einsum_ref(x, scale), qkv)
-    return vjp(g)
+    if n_valid is None:
+        _, vjp = jax.vjp(lambda x: _fused_einsum_ref(x, scale), qkv)
+        return vjp(g)
+    # padded rows carry no loss signal (they are sliced off before any
+    # consumer), so their cotangent is zero by construction
+    N = qkv.shape[1]
+    _, vjp = jax.vjp(lambda x: _fused_einsum_ref(x, scale),
+                     qkv[:, :n_valid])
+    (gq,) = vjp(g[:, :n_valid])
+    return (jnp.pad(gq, ((0, 0), (0, N - n_valid)) + ((0, 0),) * 3),)
 
 
 fused_qkv_attention.defvjp(_fused_fwd, _fused_bwd)

@@ -176,3 +176,22 @@ def test_rope2d_matches_reference(rng):
 
 def test_devices_are_virtual():
     assert len(jax.devices()) == 8
+
+
+def test_gelu_dtype_gating():
+    """ops/activations.gelu: erf-exact in f32 (torch nn.GELU parity), tanh
+    in bf16 where the approximation error (~3e-4) is below bf16 rounding."""
+    import torch
+
+    from midvision_probe_tpu.ops.activations import gelu
+
+    x = np.linspace(-4, 4, 257, dtype=np.float32)
+    got32 = np.asarray(gelu(jnp.asarray(x)))
+    ref = torch.nn.functional.gelu(torch.from_numpy(x)).numpy()
+    np.testing.assert_allclose(got32, ref, atol=1e-6)
+
+    got16 = np.asarray(gelu(jnp.asarray(x, dtype=jnp.bfloat16))
+                       .astype(jnp.float32))
+    # tanh-form in bf16 must round-trip to the exact value within one
+    # bf16 ulp of the magnitude (~8e-3 relative)
+    np.testing.assert_allclose(got16, ref, atol=0.04, rtol=0.02)
