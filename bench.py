@@ -16,9 +16,11 @@ reference's 2-GPU-per-node hardware class).
 
 FLOP accounting (for MFU): ViT-B/16 @ 480x640 → N = 30*40+1 = 1201 tokens;
 per layer 2*N*D²*12 (qkv+proj+mlp) + 4*N²*D (attention) ≈ 21.4 GF, x12
-layers ≈ 257 GF/img. 373 imgs/s → ~96 TF/s ≈ 49% MFU on v5e (197 TF/s bf16
-peak); the residual gap is the VPU-bound softmax at head_dim 64 plus the
-GELU/LayerNorm bandwidth passes.
+layers ≈ 257 GF/img. 516 imgs/s → ~133 TF/s ≈ 67% MFU on v5e (197 TF/s
+bf16 peak), counting only useful FLOPs (the whole-network 128-padding
+adds 6.6% padded rows). The residual gap is the VPU-bound softmax at
+head_dim 64 (attention kernel ~57 TF/s); matmul+elementwise layers run
+at ~80% MFU with the tanh-GELU bf16 path.
 
 Prints ONE JSON line.
 """
