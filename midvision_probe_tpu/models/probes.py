@@ -179,6 +179,12 @@ class DPT(nn.Module):
     hidden_dim: int = 512
     kernel_size: int = 3
     resnet_mode: bool = False
+    # callers that apply a per-pixel reduction to the decoder output (e.g.
+    # bindepth's 256-bin expectation) can skip the trailing nearest 2x here
+    # and upsample their (cheap, low-channel) result instead — nearest
+    # resize commutes exactly with per-pixel ops, and upsampling 256
+    # channels at 480² costs ~4 GB of HBM traffic per batch-32 step
+    final_resize: bool = True
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -213,13 +219,18 @@ class DPT(nn.Module):
         out = _conv(hd, 3, dtype=self.dtype, name="out_conv_0")(out)
         out = nn.relu(out)
         out = _conv(self.output_dim, 3, dtype=self.dtype, name="out_conv_1")(out)
-        out = resize(out, scale_factor=2, mode="nearest")
+        if self.final_resize:
+            out = resize(out, scale_factor=2, mode="nearest")
         return out
 
 
 def make_decoder(head_type: str, feat_dim, output_dim: int, hidden_dim: int,
-                 kernel_size: int, dtype=jnp.float32) -> nn.Module:
-    """feat_dim: int | list[int] | list[(C, hw)] (resnet)."""
+                 kernel_size: int, dtype=jnp.float32,
+                 final_resize: bool = True) -> nn.Module:
+    """feat_dim: int | list[int] | list[(C, hw)] (resnet).
+
+    ``final_resize=False`` (DPT only) lets per-pixel prediction heads defer
+    the decoder's trailing nearest 2x until after their channel reduction."""
     resnet_mode = isinstance(feat_dim, (list, tuple)) and feat_dim and isinstance(
         feat_dim[0], (list, tuple)
     )
@@ -229,7 +240,7 @@ def make_decoder(head_type: str, feat_dim, output_dim: int, hidden_dim: int,
         return MultiscaleHead(output_dim, hidden_dim, kernel_size, dtype=dtype)
     if head_type == "dpt":
         return DPT(output_dim, hidden_dim, kernel_size, resnet_mode=resnet_mode,
-                   dtype=dtype)
+                   final_resize=final_resize, dtype=dtype)
     raise ValueError(f"Unknown head type: {head_type}")
 
 
@@ -252,19 +263,30 @@ class DepthHead(nn.Module):
     @nn.compact
     def __call__(self, feats):
         output_dim = 256 if self.prediction_type == "bindepth" else 1
+        # Depth prediction is per-pixel (bin expectation / sigmoid), so it
+        # commutes EXACTLY with the DPT decoder's trailing nearest 2x
+        # upsample. Reduce at the decoder resolution and upsample the
+        # 1-channel result instead — bit-identical to the reference order
+        # (conv → resize → binning, reference probes.py:160-212) but skips
+        # a 256-channel 480² materialization (~4 GB HBM/step at batch 32).
+        defer = self.head_type == "dpt"
         head = make_decoder(self.head_type, self.feat_dim, output_dim,
-                            self.hidden_dim, self.kernel_size, self.dtype)
+                            self.hidden_dim, self.kernel_size, self.dtype,
+                            final_resize=not defer)
         x = head(feats)
         if self.prediction_type == "bindepth":
             bins = jnp.linspace(self.min_depth, self.max_depth, 256)
             prob = nn.relu(x) + 0.1
             prob = prob / prob.sum(axis=-1, keepdims=True)
-            depth = jnp.einsum("bhwk,k->bhw", prob, bins)
-            return depth[..., None]  # NHWC with C=1
-        if self.prediction_type == "sigdepth":
+            depth = jnp.einsum("bhwk,k->bhw", prob, bins)[..., None]
+        elif self.prediction_type == "sigdepth":
             depth = nn.sigmoid(x)
-            return self.min_depth + depth * (self.max_depth - self.min_depth)
-        raise ValueError(self.prediction_type)
+            depth = self.min_depth + depth * (self.max_depth - self.min_depth)
+        else:
+            raise ValueError(self.prediction_type)
+        if defer:
+            depth = resize(depth, scale_factor=2, mode="nearest")
+        return depth  # NHWC with C=1
 
 
 class SurfaceNormalHead(nn.Module):

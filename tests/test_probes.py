@@ -313,3 +313,38 @@ def test_dpt_bf16_close_to_f32(rng):
     # depth range ~[0, 10]; bf16 compute should agree to ~cm level
     assert np.abs(p32 - p16).max() < 0.15
     assert np.abs(p32 - p16).mean() < 0.02
+
+
+def test_depth_head_dpt_defer_resize_is_exact(rng):
+    """DepthHead defers the DPT decoder's trailing nearest 2x until after
+    the per-pixel depth reduction (binning/sigmoid commutes exactly with
+    nearest duplication). Must be bit-identical to the reference order:
+    decode at full channels -> resize -> reduce."""
+    import jax
+
+    from midvision_probe_tpu.models.probes import make_decoder
+    from midvision_probe_tpu.ops.image import resize as _resize
+
+    for pred in ("bindepth", "sigdepth"):
+        head = DepthHead(feat_dim=[16] * 4, head_type="dpt", hidden_dim=32,
+                         prediction_type=pred, kernel_size=3)
+        feats = [jnp.asarray(rng.randn(2, 8, 8, 16).astype(np.float32))
+                 for _ in range(4)]
+        v = head.init(jax.random.PRNGKey(0), feats)
+        got = head.apply(v, feats)
+
+        # reference order on the SAME decoder params: full-res 256ch resize
+        # first, then the per-pixel reduction
+        output_dim = 256 if pred == "bindepth" else 1
+        dec = make_decoder("dpt", [16] * 4, output_dim, 32, 3,
+                           final_resize=True)
+        x = dec.apply({"params": v["params"]["DPT_0"]}, feats)
+        if pred == "bindepth":
+            bins = jnp.linspace(0.001, 10.0, 256)
+            prob = jax.nn.relu(x) + 0.1
+            prob = prob / prob.sum(axis=-1, keepdims=True)
+            ref = jnp.einsum("bhwk,k->bhw", prob, bins)[..., None]
+        else:
+            ref = 0.001 + jax.nn.sigmoid(x) * (10.0 - 0.001)
+        assert got.shape == ref.shape
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
