@@ -50,8 +50,12 @@ BASELINE_IMGS_PER_SEC = 250.0
 def main() -> None:
     from midvision_probe_tpu.models import zoo
 
+    # driver protocol is dino_vitb16; MVP_BENCH_BACKBONE records secondary
+    # datapoints (e.g. deit3_vitl16) in logs/perf history without touching
+    # the headline metric
+    name = os.environ.get("MVP_BENCH_BACKBONE", "dino_vitb16")
     backbone = zoo.build_vit_extractor(
-        "dino_vitb16", output="dense", return_multilayer=True,
+        name, output="dense", return_multilayer=True,
         dtype=jnp.bfloat16, init_size=224,
     )
 
@@ -84,7 +88,7 @@ def main() -> None:
     n_chips = max(jax.device_count(), 1)
     value = imgs_per_sec / n_chips
     print(json.dumps({
-        "metric": "vitb16_dense_multilayer_imgs_per_sec_per_chip",
+        "metric": f"{name.split('_')[-1]}_dense_multilayer_imgs_per_sec_per_chip",
         "value": round(value, 2),
         "unit": "imgs/sec/chip",
         "vs_baseline": round(value / BASELINE_IMGS_PER_SEC, 3),

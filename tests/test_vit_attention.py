@@ -106,3 +106,24 @@ def test_vit_whole_network_padding_matches_unpadded(rng, monkeypatch):
     for a, b in zip(plain["tokens"], padded["tokens"]):
         assert a.shape == b.shape == (1, 257, 128)
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_vit_whole_network_padding_dinov2_style(rng, monkeypatch):
+    """Padding equivalence with the most intricate token layout in the zoo:
+    cls + 4 register tokens + LayerScale (DINOv2-reg). N = 256+5 = 261."""
+    import midvision_probe_tpu.models.vit as vitmod
+
+    cfg = vitmod.ViTConfig(patch_size=16, width=128, depth=2, num_heads=2,
+                           num_register_tokens=4, layerscale=True,
+                           dtype=jnp.float32)
+    model = vitmod.ViT(cfg)
+    images = jnp.asarray(rng.randn(1, 256, 256, 3).astype(np.float32) * 0.1)
+    params = model.init(jax.random.PRNGKey(1), images, taps=[1])
+
+    plain = model.apply(params, images, taps=[1])
+    monkeypatch.setattr(vitmod, "_FORCE_INTERPRET", True)
+    padded = model.apply(params, images, taps=[1])
+
+    a, b = plain["tokens"][0], padded["tokens"][0]
+    assert a.shape == b.shape == (1, 261, 128)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
