@@ -88,7 +88,11 @@ def main() -> None:
     n_chips = max(jax.device_count(), 1)
     value = imgs_per_sec / n_chips
     print(json.dumps({
-        "metric": f"{name.split('_')[-1]}_dense_multilayer_imgs_per_sec_per_chip",
+        # headline keeps its historical key; overrides use the full zoo
+        # name so e.g. mae_vitb16 can never shadow the protocol metric
+        "metric": ("vitb16_dense_multilayer_imgs_per_sec_per_chip"
+                   if name == "dino_vitb16" else
+                   f"{name}_dense_multilayer_imgs_per_sec_per_chip"),
         "value": round(value, 2),
         "unit": "imgs/sec/chip",
         "vs_baseline": round(value / BASELINE_IMGS_PER_SEC, 3),

@@ -220,15 +220,9 @@ class Attention(nn.Module):
                  (q[:, :, :nv], k[:, :, :nv], v[:, :, :nv]))
 
         scale = c.head_dim**-0.5
-        use_fused = n_valid is not None or (
-            not (c.rope and pos_2d is not None)
-            and not c.rel_pos_bias
-            and (jax.default_backend() == "tpu" or _FORCE_INTERPRET)
-            and N >= 256
-            and 128 % c.head_dim == 0
-            and (c.num_heads * c.head_dim) % 128 == 0
-            and N * c.head_dim * 4 <= 2 * 1024 * 1024  # K+V resident in VMEM
-        )
+        # n_valid != None ⇒ ViT.__call__ already checked fused_attention_ok
+        # at the padded length; otherwise check at this x's length
+        use_fused = n_valid is not None or fused_attention_ok(c, N)
         if use_fused:
             # hot path: the single-pass kernel reads q/k/v straight from the
             # (B, N, 3, H, d) projection output and writes token-major — the

@@ -64,9 +64,8 @@ def _resize_matrix(
     W = np.zeros((out_size, in_size), dtype=np.float64)
 
     if mode == "nearest":
-        # torch's legacy 'nearest': floor(dst * in/out)
-        idx = np.clip((np.arange(out_size) * in_size // out_size), 0, in_size - 1)
-        W[np.arange(out_size), idx] = 1.0
+        # same index formula as the gather fast path (_nearest_indices)
+        W[np.arange(out_size), _nearest_indices(in_size, out_size)] = 1.0
         return W.astype(np.float32)
 
     if mode in ("bilinear", "linear"):
@@ -118,29 +117,6 @@ def _nearest_indices(in_size: int, out_size: int) -> np.ndarray:
                    0, in_size - 1).astype(np.int32)
 
 
-@functools.lru_cache(maxsize=256)
-def _two_tap_plan(in_size: int, out_size: int, mode: str,
-                  align_corners: bool):
-    """(i0, i1, w0, w1) per-output-row taps extracted from the (≤2-nonzero)
-    bilinear resize matrix — identical weights, gather+lerp instead of a
-    dense matmul."""
-    W = _resize_matrix(in_size, out_size, mode, align_corners, False)
-    out = W.shape[0]
-    i0 = np.zeros(out, np.int32)
-    i1 = np.zeros(out, np.int32)
-    w0 = np.zeros(out, np.float32)
-    w1 = np.zeros(out, np.float32)
-    for r in range(out):
-        nz = np.nonzero(W[r])[0]
-        assert 1 <= len(nz) <= 2, (mode, in_size, out_size, r, nz)
-        i0[r], w0[r] = nz[0], W[r, nz[0]]
-        if len(nz) == 2:
-            i1[r], w1[r] = nz[1], W[r, nz[1]]
-        else:
-            i1[r] = nz[0]  # border row merged its taps; second weight 0
-    return i0, i1, w0, w1
-
-
 def resize(
     x: jnp.ndarray,
     size: tuple[int, int] | None = None,
@@ -168,11 +144,12 @@ def resize(
     out_h, out_w = int(size[0]), int(size[1])
 
     if (out_h, out_w) != (h, w):
-        # fast paths: nearest is a pure gather (bit-identical to the 1-hot
-        # matrix, no dtype round trip); non-antialiased bilinear has ≤2 taps
-        # per output row, so gather+lerp replaces a dense f32 matmul — the
-        # DPT/Multiscale upsamples at 512 channels were burning ~100 GF of
-        # HIGHEST-precision MXU work per train step on these
+        # nearest fast path: a pure jnp.take (bit-identical to the 1-hot
+        # matrix rows, no dtype round trip). Bilinear/bicubic stay on the
+        # dense-matrix einsum: a 2-tap gather+lerp variant was measured
+        # ~2x SLOWER end-to-end on v5e (resnet-DPT probe step 625→1130 ms,
+        # linear-probe step 45→140 ms) — TPU gathers serialize where the
+        # one-hot matmul rides the MXU.
         if mode == "nearest":
             if out_h != h:
                 x = jnp.take(x, jnp.asarray(_nearest_indices(h, out_h)), axis=1)
@@ -181,19 +158,6 @@ def resize(
             return x[0] if squeeze else x
         dtype = x.dtype
         xf = x.astype(jnp.float32)
-        if mode in ("bilinear", "linear") and not antialias:
-            for axis, in_len, out_len in ((1, h, out_h), (2, w, out_w)):
-                if in_len == out_len:
-                    continue
-                i0, i1, w0, w1 = _two_tap_plan(in_len, out_len, mode,
-                                               align_corners)
-                bshape = [1, 1, 1, 1]
-                bshape[axis] = out_len
-                xf = (jnp.take(xf, jnp.asarray(i0), axis=axis)
-                      * jnp.asarray(w0).reshape(bshape)
-                      + jnp.take(xf, jnp.asarray(i1), axis=axis)
-                      * jnp.asarray(w1).reshape(bshape))
-            return (xf.astype(dtype)[0] if squeeze else xf.astype(dtype))
         hp = jax.lax.Precision.HIGHEST
         if out_h != h:
             Wh = jnp.asarray(_resize_matrix(h, out_h, mode, align_corners, antialias))

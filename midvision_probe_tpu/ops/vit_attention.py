@@ -20,20 +20,24 @@ Two entry points:
 
 Softmax economics (v5e VPU-bound at head_dim 64): scores are scaled by
 ``scale * log2(e)`` inside the MXU epilogue so the exponential is a raw
-``exp2``; zero-padded keys are *not* masked per element — padded columns
-contribute exactly ``exp2(0) = 1`` each to the row sum (their scores are 0
-and padded V rows are 0), so one per-row scalar correction replaces an
-(N_pad)-wide compare+select per score row.
+``exp2``. The fused kernel drops the per-row max subtraction entirely
+(measured 57.2 vs 53.3 TF/s — the max-reduce plus broadcast-subtract are
+two full VPU passes over the N² score matrix). Safety: scores are clamped
+at +110 before exp2 (f32 exp2 overflows at 128), which only alters
+results when a raw attention logit exceeds 110/log2(e) ≈ 76 — far outside
+the range LayerNorm'd frozen backbones produce. Underflow (a whole row of
+scores below ≈ -126) would yield 0/0, but requires logits < -87
+uniformly, equally out of range; the generic ``vit_attention`` path keeps
+the max-subtracted form for arbitrary inputs.
 
-The fused kernel drops the per-row max subtraction entirely (measured
-57.2 vs 53.3 TF/s — the max-reduce plus broadcast-subtract are two full
-VPU passes over the N² score matrix). Safety: scores are clamped at
-+110 before exp2 (f32 exp2 overflows at 128), which only alters results
-when a raw attention logit exceeds 110/log2(e) ≈ 76 — far outside the
-range LayerNorm'd frozen backbones produce. Underflow (all-row scores
-below ≈ -126) would yield 0/0, but requires logits < -87 uniformly,
-equally out of range; the generic ``vit_attention`` path keeps the
-max-subtracted form for arbitrary inputs.
+Padded key columns are masked to -inf with a single broadcast select over
+the score tile before exp2, so they contribute exactly zero to the row
+sum. (An earlier revision instead let zero-padded columns contribute
+``exp2(0) = 1`` each and subtracted the count from the normalizer — that
+correction catastrophically cancels when every valid score in a row is
+small: at npad = 79 the f32 ulp of the normalizer is ~5e-6, so rows whose
+valid mass sums below that went to Inf. The select costs one VPU pass but
+is exact for any input, including NaN/garbage in padded K rows.)
 
 Forward-only Pallas; gradients fall back to the einsum formulation via
 custom_vjp (backbones are frozen in every reference pipeline —
@@ -78,21 +82,22 @@ def _fused_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, n_valid: int,
                   head_dim: int, mask_kv: bool = False):
     """One instance handles a 128-lane column block = ``128 // head_dim``
     heads (Mosaic's minimum lane granularity; head_dim 64 → head pairs).
-    Refs are (1, bq|Nk, 128) blocks of the (B, Npad, 3*H*d) qkv tensor."""
+    Refs are (1, bq|Nk, 128) blocks of the (B, Npad, 3*H*d) qkv tensor.
+
+    ``mask_kv`` marks caller-level padding whose rows hold garbage (they
+    flowed through LN/matmuls, possibly NaN): padded V rows are zeroed so
+    ``0 * NaN`` never reaches the PV dot; padded score COLUMNS are always
+    masked to -inf before exp2 (exact, also discards garbage/NaN K scores)."""
     # scale*log2(e) is folded into the q tile — (bq, 128) elements instead
     # of a post-multiply over the (bq, Nk) score matrix
     q = q_ref[0].astype(jnp.float32) * (scale * _LOG2E)  # (bq, 128)
     q = q.astype(q_ref.dtype)
     k = k_ref[0]  # (Nk, 128) — rows beyond n_valid are padding
     v = v_ref[0]
-    if mask_kv:
-        # caller-level padding carries garbage rows (they flowed through
-        # LN/matmuls); zero them here so padded columns score exactly 0.
-        # Cost: one (Nk, 128) select per tensor — off the N² hot path.
-        rows = jax.lax.broadcasted_iota(jnp.int32, k.shape, 0)
-        k = jnp.where(rows < n_valid, k, jnp.zeros_like(k))
-        v = jnp.where(rows < n_valid, v, jnp.zeros_like(v))
     npad = k.shape[0] - n_valid
+    if mask_kv and npad:
+        rows = jax.lax.broadcasted_iota(jnp.int32, v.shape, 0)
+        v = jnp.where(rows < n_valid, v, jnp.zeros_like(v))
     outs = []
     for j in range(q.shape[-1] // head_dim):
         sl = slice(j * head_dim, (j + 1) * head_dim)
@@ -101,12 +106,13 @@ def _fused_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, n_valid: int,
             preferred_element_type=jnp.float32,
         )
         # max-free softmax (see module docstring): clamp guards f32 exp2
-        # overflow; padded columns contribute exp2(0) = 1 each to the sum
+        # overflow; padded columns are excluded exactly via -inf
         s2 = jnp.minimum(s2, 110.0)
+        if npad:
+            cols = jax.lax.broadcasted_iota(jnp.int32, s2.shape, 1)
+            s2 = jnp.where(cols < n_valid, s2, -jnp.inf)
         p = jnp.exp2(s2)
         l = jnp.sum(p, axis=1, keepdims=True)
-        if npad:
-            l = l - float(npad)
         o = jax.lax.dot(p.astype(v.dtype), v[:, sl],
                         preferred_element_type=jnp.float32)
         outs.append(o / l)
@@ -192,9 +198,14 @@ def _fused_forward(qkv, scale: float, interpret: bool = False,
     return out if n_valid is not None else out[:, :N]
 
 
-def _fused_einsum_ref(qkv, scale):
+def _fused_einsum_ref(qkv, scale, n_valid: int | None = None):
+    """Einsum formulation matching the kernel's semantics: every query row
+    (including caller-padding rows) attends over the first ``n_valid``
+    keys/values only."""
     B, N, _, H, d = qkv.shape
     q, k, v = jnp.moveaxis(qkv, 2, 0)  # each (B, N, H, d)
+    if n_valid is not None:
+        k, v = k[:, :n_valid], v[:, :n_valid]
     s = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k,
                    preferred_element_type=jnp.float32)
     p = jax.nn.softmax(s, axis=-1).astype(qkv.dtype)
@@ -219,17 +230,13 @@ def _fused_fwd(qkv, scale, interpret, n_valid):
 
 
 def _fused_bwd(scale, interpret, n_valid, res, g):
+    # the masked einsum ref reproduces the kernel exactly (padded query
+    # rows attend over valid keys; padded key/value rows are excluded), so
+    # its vjp is correct for ANY cotangent — including callers whose loss
+    # reads padded output rows
     (qkv,) = res
-    if n_valid is None:
-        _, vjp = jax.vjp(lambda x: _fused_einsum_ref(x, scale), qkv)
-        return vjp(g)
-    # padded rows carry no loss signal (they are sliced off before any
-    # consumer), so their cotangent is zero by construction
-    N = qkv.shape[1]
-    _, vjp = jax.vjp(lambda x: _fused_einsum_ref(x, scale),
-                     qkv[:, :n_valid])
-    (gq,) = vjp(g[:, :n_valid])
-    return (jnp.pad(gq, ((0, 0), (0, N - n_valid)) + ((0, 0),) * 3),)
+    _, vjp = jax.vjp(lambda x: _fused_einsum_ref(x, scale, n_valid), qkv)
+    return vjp(g)
 
 
 fused_qkv_attention.defvjp(_fused_fwd, _fused_bwd)

@@ -127,3 +127,37 @@ def test_vit_whole_network_padding_dinov2_style(rng, monkeypatch):
     a, b = plain["tokens"][0], padded["tokens"][0]
     assert a.shape == b.shape == (1, 261, 128)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_fused_qkv_attention_uniformly_negative_rows(rng):
+    """Regression: rows whose valid scores are all very negative must not
+    blow up against padded columns. The earlier normalizer correction
+    (l - npad over exp2(0)-contributing pad columns) catastrophically
+    cancelled here — valid rows went to Inf below logit ~ -20. The -inf
+    column mask is exact for any score range."""
+    B, N, H, d = 1, 256, 2, 64
+    n_valid = 200
+    qkv = rng.randn(B, N, 3, H, d).astype(np.float32) * 0.02
+    # scores q·k ≈ -166 → scaled base-2 scores ≈ -30 for every valid key
+    qkv[:, :, 1] = 1.0
+    qkv[:, :, 0] = -2.6
+    qkv = jnp.asarray(qkv)
+    got = fused_qkv_attention(qkv, d**-0.5, True, n_valid)
+    ref = _fused_einsum_ref(qkv, d**-0.5, n_valid)
+    assert np.isfinite(np.asarray(got[:, :n_valid])).all()
+    np.testing.assert_allclose(np.asarray(got[:, :n_valid]),
+                               np.asarray(ref[:, :n_valid]), atol=1e-5)
+
+
+def test_fused_qkv_attention_n_valid_full_output_grad(rng):
+    """The custom vjp must be correct even when the caller's loss reads the
+    padded output rows (they are real outputs: padded queries attending
+    over valid keys)."""
+    B, N, H, d = 1, 128, 4, 32
+    n_valid = 100
+    qkv = jnp.asarray(rng.randn(B, N, 3, H, d).astype(np.float32))
+    g1 = jax.grad(lambda x: jnp.sum(
+        fused_qkv_attention(x, 0.3, True, n_valid) ** 2))(qkv)
+    g2 = jax.grad(lambda x: jnp.sum(
+        _fused_einsum_ref(x, 0.3, n_valid) ** 2))(qkv)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-5)
