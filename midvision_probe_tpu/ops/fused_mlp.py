@@ -11,12 +11,14 @@ Forward-only; backward falls back to the plain formulation via custom_vjp
 (frozen backbones — the backward path is cold).
 
 Measurement note (v5e, ViT-B/16 @ 480x640 bf16 batch 64): end-to-end this
-kernel was SLOWER than XLA's native two-matmul pipeline (384 imgs/s plain
-vs 358-370 fused across bm 256/1024) — XLA overlaps the gelu pass across
-the layer pipeline effectively, and the in-kernel rational erf costs VPU
-time the HBM saving does not buy back. Kept as a library kernel (it wins
-when the MLP is genuinely bandwidth-bound, e.g. tiny batches); the ViT
-does not dispatch to it.
+kernel is SLOWER than XLA's native two-matmul pipeline — measured twice:
+384 plain vs 358-370 fused with the rational-erf activation (r2), and
+514.6 plain vs 468.0 fused with the cheap tanh activation (late r2, after
+the ViT switched to tanh GELU under bf16). The erf cost was NOT the
+reason: XLA genuinely hides the hidden-state HBM round trip behind the
+matmul pipeline, and a monolithic kernel forfeits that overlap. Kept as a
+library kernel (it wins when the MLP is truly bandwidth-bound, e.g. tiny
+batches); the ViT does not dispatch to it.
 """
 
 from __future__ import annotations
@@ -48,6 +50,12 @@ def _erf(x):
 def _act(h, act: str, exact: bool = True):
     if act == "quickgelu":  # openai CLIP
         return h * jax.nn.sigmoid(1.702 * h)
+    if act == "gelu_tanh":
+        # tanh GELU — the bf16 compute path's activation
+        # (ops/activations.py: error below bf16 rounding); much cheaper on
+        # the VPU than the erf chain that made the r2 fused kernel lose
+        c = np.float32(np.sqrt(2.0 / np.pi))
+        return 0.5 * h * (1.0 + jnp.tanh(c * (h + 0.044715 * h * h * h)))
     erf = jax.lax.erf if exact else _erf
     return 0.5 * h * (1.0 + erf(h * np.float32(np.sqrt(0.5))))
 
