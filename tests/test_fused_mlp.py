@@ -8,7 +8,7 @@ import pytest
 from midvision_probe_tpu.ops.fused_mlp import _plain, fused_mlp
 
 
-@pytest.mark.parametrize("act", ["gelu", "quickgelu"])
+@pytest.mark.parametrize("act", ["gelu", "gelu_tanh", "quickgelu"])
 def test_fused_mlp_matches_plain(rng, act):
     M, C, H = 300, 128, 256  # M=300 exercises row padding
     x = jnp.asarray(rng.randn(M, C).astype(np.float32) * 0.5)
