@@ -173,10 +173,27 @@ def make_vit_feature_fn(
     taps: Sequence[int],
     output: str,
     num_prefix_tokens: int,
+    fixed_input: int | None = None,
+    fixed_input_mode: str = "bilinear",
 ):
-    """Build the (variables, images) -> (list[map], list[cls]) fn for a ViT."""
+    """Build the (variables, images) -> (list[map], list[cls]) fn for a ViT.
+
+    ``fixed_input``: relative-position-bias models cannot change their
+    token grid (the bias table is sized for the training grid), so the
+    reference force-resizes every input — BEiT-v2 to 224 bilinear
+    (``beit_v2.py:255-257``), MiDaS to its 384 native size bicubic
+    (``midas_final.py:46-52``; the reference additionally asserts square
+    inputs there — we resize non-square inputs too rather than crash).
+    Features come out at the fixed grid regardless of input size, exactly
+    as in the reference."""
 
     def apply_fn(variables, images):
+        if fixed_input is not None and images.shape[1:3] != (fixed_input,
+                                                            fixed_input):
+            from midvision_probe_tpu.ops.image import resize
+
+            images = resize(images, (fixed_input, fixed_input),
+                            mode=fixed_input_mode, align_corners=False)
         res = module.apply(variables, images, taps=tuple(taps))
         gh, gw = res["grid_hw"]
         num_spatial = gh * gw

@@ -68,6 +68,11 @@ class ZooEntry:
     image_mean: tuple = IMAGENET_MEAN
     image_std: tuple = IMAGENET_STD
     default_size: int = 224
+    # rel-pos-bias models can't change their token grid; the reference
+    # force-resizes inputs to a fixed size instead (beit_v2.py:255-257,
+    # midas_final.py:46-52)
+    fixed_input: int | None = None
+    fixed_input_mode: str = "bilinear"
 
 
 def _vit(preset: str, patch: int, table: int | None = None, **kw) -> dict:
@@ -177,6 +182,7 @@ register(ZooEntry(
     url="gdrive BEiT-v2 ViT-B/16 (beit_v2.py:8-13)",
     vit=_vit("vit_base", 16, pos_embed="none", rel_pos_bias=True,
              layerscale=True),
+    fixed_input=224,  # reference resizes every input (beit_v2.py:255-257)
 ))
 
 # --- CLIP / SigLIP (reference clip.py, siglip.py) ------------------------
@@ -240,6 +246,8 @@ register(ZooEntry(
              layerscale=True),
     prefix="pretrained.model.",
     default_size=384,
+    fixed_input=384,  # reference resizes to 384 (midas_final.py:46-52)
+    fixed_input_mode="bicubic",
     image_mean=(0.5, 0.5, 0.5), image_std=(0.5, 0.5, 0.5),
 ))
 register(ZooEntry(
@@ -450,10 +458,16 @@ def build_vit_extractor(
             name, checkpoint_dir(), entry.filename,
         )
         variables = _random_init(
-            module, init_size or entry.default_size, {"taps": tuple(multilayers)}
+            module,
+            # fixed-input models always run at their own size — init there
+            # regardless of the caller's init_size (midas_l16 is 384)
+            entry.fixed_input or init_size or entry.default_size,
+            {"taps": tuple(multilayers)},
         )
     apply_fn = make_vit_feature_fn(
-        module, multilayers, output, cfg.num_prefix_tokens
+        module, multilayers, output, cfg.num_prefix_tokens,
+        fixed_input=entry.fixed_input,
+        fixed_input_mode=entry.fixed_input_mode,
     )
     return FeatureExtractor(
         apply_fn, variables, spec,

@@ -88,3 +88,26 @@ def test_extract_kqv(rng):
     assert k.shape == (1, 8, 8, 32)
     kqv = m.extract_kqv(x, mode="kqv")
     assert kqv.shape == (1, 8, 8, 96)
+
+
+def test_beit_fixed_input_resize():
+    """Rel-pos-bias models force-resize inputs like the reference
+    (beit_v2.py:255-257 resizes everything to 224 bilinear): a 256x320
+    input must produce 14x14 features identical to a manually resized
+    224x224 forward."""
+    import numpy as np
+
+    from midvision_probe_tpu.models import zoo
+    from midvision_probe_tpu.ops.image import resize
+
+    bb = zoo.build_vit_extractor("beitv2_vitb16", output="dense",
+                                 return_multilayer=True, init_size=224)
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.rand(1, 256, 320, 3).astype(np.float32))
+    maps, _ = bb._apply_fn(bb.variables, images)
+    assert all(m.shape == (1, 14, 14, 768) for m in maps)
+
+    manual = resize(images, (224, 224), mode="bilinear", align_corners=False)
+    maps2, _ = bb._apply_fn(bb.variables, manual)
+    np.testing.assert_allclose(np.asarray(maps[-1]), np.asarray(maps2[-1]),
+                               atol=1e-6)
