@@ -59,9 +59,14 @@ def main() -> None:
         dtype=jnp.bfloat16, init_size=224,
     )
 
+    # weights ride as jit ARGUMENTS: captured numpy/device arrays would be
+    # inlined into the serialized HLO (~345 MB for ViT-B) and some axon
+    # tunnel instances reject the compile RPC with HTTP 413
+    bb_vars = backbone.device_variables
+
     @jax.jit
-    def forward(images):
-        maps, _ = backbone._apply_fn(backbone.variables, images)
+    def forward(variables, images):
+        maps, _ = backbone._apply_fn(variables, images)
         # feature consumers read f32 maps (probes cast up anyway)
         maps = [m.astype(jnp.float32) for m in maps]
         # tiny checksum forces the whole computation to complete when
@@ -74,13 +79,13 @@ def main() -> None:
     images = jnp.asarray(rng.randn(batch, 480, 640, 3).astype(np.float32))
 
     # warmup / compile
-    _, chk = forward(images)
+    _, chk = forward(bb_vars, images)
     float(chk)
 
     n_iters = 20
     t0 = time.perf_counter()
     for _ in range(n_iters):
-        _, chk = forward(images)
+        _, chk = forward(bb_vars, images)
     float(chk)  # host fetch == full pipeline drain
     dt = time.perf_counter() - t0
 

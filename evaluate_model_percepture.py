@@ -45,12 +45,15 @@ def run(cfg, dataset=None):
     is_vit = model.arch == "vit"
 
     @jax.jit
-    def embed(images):
-        maps, cls_tokens = model._apply_fn(model.variables, images)
+    def _embed(variables, images):
+        maps, cls_tokens = model._apply_fn(variables, images)
         if is_vit and cls_tokens is not None and cls_tokens[-1] is not None:
             return cls_tokens[-1].astype(jnp.float32)
         # CNN: GAP over the last dense map (:112-114)
         return maps[-1].mean(axis=(1, 2)).astype(jnp.float32)
+
+    # weights as jit arguments (closures inline them into the compile RPC)
+    embed = lambda images: _embed(model.device_variables, images)  # noqa: E731
 
     if dataset is not None:
         from midvision_probe_tpu.datasets.builder import Loader

@@ -93,10 +93,15 @@ def measure_backbone(name: str, batch: int, hw=(480, 480),
     tx = optax.adamw(5e-4)
     opt_state = tx.init(params)
 
+    bb_vars = bb.device_variables  # jit ARG, not closure (tunnel 413s)
+
     @jax.jit
-    def extract(images):
+    def _extract_fn(variables, images):
         return [f.astype(jnp.bfloat16) for f in
-                bb._apply_fn(bb.variables, images)[0]]
+                bb._apply_fn(variables, images)[0]]
+
+    def extract(images):
+        return _extract_fn(bb_vars, images)
 
     @jax.jit
     def probe_step(params, stats, opt_state, feats, depth):
@@ -115,9 +120,12 @@ def measure_backbone(name: str, batch: int, hw=(480, 480),
         return optax.apply_updates(params, updates), new_stats, opt_state, loss
 
     @jax.jit
-    def full_step(params, stats, opt_state, images, depth):
-        feats = extract(images)
+    def _full_step(bbv, params, stats, opt_state, images, depth):
+        feats = _extract_fn(bbv, images)
         return probe_step(params, stats, opt_state, feats, depth)
+
+    def full_step(params, stats, opt_state, images, depth):
+        return _full_step(bb_vars, params, stats, opt_state, images, depth)
 
     t_extract = timeit(extract, images)
     feats = extract(images)

@@ -80,9 +80,9 @@ def main(argv=None):
             images = jnp.asarray(
                 rng.rand(batch, size, size, 3).astype(np.float32))
             feats = jax.jit(
-                lambda im: [f.astype(jnp.float32)
-                            for f in bb._apply_fn(bb.variables, im)[0]]
-            )(images)
+                lambda v, im: [f.astype(jnp.float32)
+                               for f in bb._apply_fn(v, im)[0]]
+            )(bb.device_variables, images)
             feats = jax.tree_util.tree_map(np.asarray, feats)
             ok = all(np.isfinite(f).all() for f in feats)
             shapes = [tuple(f.shape) for f in feats]

@@ -121,9 +121,14 @@ class ProbeTrainer:
 
     # ------------------------------------------------------------- forward
     def _forward(self, params, batch_stats, images, train: bool,
-                 feats=None):
+                 feats=None, bb_vars=None):
         if feats is None:
-            feats = self.backbone._apply_fn(self.backbone.variables, images)[0]
+            # backbone weights arrive as a traced jit argument (closures
+            # inline them into the serialized HLO — the axon tunnel rejects
+            # such compile RPCs with HTTP 413 for ViT-B-sized trees)
+            if bb_vars is None:
+                bb_vars = self.backbone.device_variables
+            feats = self.backbone._apply_fn(bb_vars, images)[0]
         feats = [jax.lax.stop_gradient(f) for f in feats]
         new_stats = dict(batch_stats)
         if self.tap_norms is not None:
@@ -155,11 +160,11 @@ class ProbeTrainer:
 
     # ---------------------------------------------------------------- step
     def _make_train_step(self, cached: bool):
-        def step(state: TrainState, batch: dict, feats=None):
+        def step(state: TrainState, batch: dict, feats=None, bb_vars=None):
             def loss_wrt(params):
                 pred, new_stats = self._forward(
                     params, state.batch_stats, batch.get("image"),
-                    train=True, feats=feats,
+                    train=True, feats=feats, bb_vars=bb_vars,
                 )
                 return self.loss_fn(pred, batch), new_stats
 
@@ -176,20 +181,19 @@ class ProbeTrainer:
             )
 
         if cached:
-            return jax.jit(step, donate_argnums=(0,))
-        return jax.jit(lambda s, b: step(s, b), donate_argnums=(0,))
+            return jax.jit(lambda s, b, f: step(s, b, f), donate_argnums=(0,))
+        return jax.jit(lambda s, b, v: step(s, b, None, v),
+                       donate_argnums=(0,))
 
     def _extract(self, images):
         if self._extract_jit is None:
             self._extract_jit = jax.jit(
-                lambda im: [
+                lambda v, im: [
                     f.astype(jnp.bfloat16)
-                    for f in self.backbone._apply_fn(
-                        self.backbone.variables, im
-                    )[0]
+                    for f in self.backbone._apply_fn(v, im)[0]
                 ]
             )
-        return self._extract_jit(images)
+        return self._extract_jit(self.backbone.device_variables, images)
 
     def train_epoch(self, loader, log_every: int = 50, logger=None,
                     wandb=None) -> float:
@@ -227,7 +231,8 @@ class ProbeTrainer:
                     feats = [jax.device_put(f) for f in cached]
                 self.state, loss = self._train_step(self.state, batch, feats)
             else:
-                self.state, loss = self._train_step(self.state, batch)
+                self.state, loss = self._train_step(
+                    self.state, batch, self.backbone.device_variables)
             losses.append(loss)
             if logger and (i + 1) % log_every == 0:
                 lv = float(jnp.mean(jnp.stack(losses[-log_every:])))
@@ -259,8 +264,9 @@ class ProbeTrainer:
     def predict(self, batch: dict) -> jnp.ndarray:
         if self._eval_step is None:
 
-            def step(params, batch_stats, images):
-                pred, _ = self._forward(params, batch_stats, images, train=False)
+            def step(params, batch_stats, images, bb_vars):
+                pred, _ = self._forward(params, batch_stats, images,
+                                        train=False, bb_vars=bb_vars)
                 return pred
 
             self._eval_step = jax.jit(step)
@@ -268,7 +274,8 @@ class ProbeTrainer:
         b = batch["image"].shape[0]
         batch = shard_batch(self._pad(batch), self.mesh)
         pred = self._eval_step(
-            self.state.params, self.state.batch_stats, batch["image"]
+            self.state.params, self.state.batch_stats, batch["image"],
+            self.backbone.device_variables,
         )
         return pred[:b]
 

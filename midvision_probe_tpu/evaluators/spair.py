@@ -70,12 +70,14 @@ def make_feature_fn(backbone):
     features (B, h, w, C) (``evaluate_spair_correspondence.py:55-59``)."""
 
     @jax.jit
-    def fn(images):
-        maps, _ = backbone._apply_fn(backbone.variables, images)
+    def fn(variables, images):
+        # variables as a jit ARGUMENT — closures inline weights into the
+        # serialized HLO and blow the tunnel's compile-RPC size limit
+        maps, _ = backbone._apply_fn(variables, images)
         feats = jnp.concatenate(maps, axis=-1) if len(maps) > 1 else maps[0]
         feats = feats.astype(jnp.float32)
         return feats / jnp.clip(
             jnp.linalg.norm(feats, axis=-1, keepdims=True), 1e-12, None
         )
 
-    return fn
+    return lambda images: fn(backbone.device_variables, images)

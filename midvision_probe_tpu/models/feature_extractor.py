@@ -124,18 +124,32 @@ class FeatureExtractor:
             spec.feat_dim[-1] if isinstance(spec.feat_dim, (list, tuple))
             and spec.arch != "resnet" else spec.feat_dim
         )
-        self._jitted = jax.jit(functools.partial(self._apply_fn, self.variables))
+        # variables are passed to the jit as ARGUMENTS, not captured in the
+        # closure: numpy leaves captured by a jit are inlined into the HLO
+        # as literals, and through the axon tunnel that makes the compile
+        # RPC carry every weight (ViT-B ≈ 345 MB — rejected with HTTP 413
+        # by some tunnel instances). As arguments they are runtime inputs;
+        # device_variables commits them to the device once.
+        self._jitted = jax.jit(self._apply_fn)
+        self._device_vars = None
+
+    @property
+    def device_variables(self):
+        """``variables`` as device-committed jax.Arrays (cached)."""
+        if self._device_vars is None:
+            self._device_vars = jax.device_put(self.variables)
+        return self._device_vars
 
     def __call__(self, images: jnp.ndarray):
         """images NHWC (normalized) → feature map(s) per the contract."""
-        outputs, cls_tokens = self._jitted(images)
+        outputs, cls_tokens = self._jitted(self.device_variables, images)
         if self.return_cls and len(outputs) == 1 and cls_tokens is not None:
             return cls_tokens[0]
         return outputs if self.return_multilayer else outputs[-1]
 
     def features(self, images: jnp.ndarray):
         """Always-multilayer call used by probe training."""
-        outputs, _ = self._jitted(images)
+        outputs, _ = self._jitted(self.device_variables, images)
         return outputs
 
     def extract_kqv(self, images: jnp.ndarray, mode: str = "k"):
