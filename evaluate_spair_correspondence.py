@@ -23,25 +23,39 @@ from midvision_probe_tpu.utils.logging import CSVWriter, setup_logger
 THRESH = 0.10
 
 
-def evaluate_dataset(feature_fn, dataset, batch_pairs=8, image_size=800):
-    """Returns (recall %, confusion matrix) (reference ``:105-122``)."""
+def evaluate_dataset(feature_fn, dataset, batch_pairs=8, image_size=800,
+                     mask_feats=False, return_heatmaps=False,
+                     patch_size=16):
+    """Returns (recall %, confusion matrix[, heatmaps]) (reference
+    ``:105-122``; ``mask_feats``/``return_heatmaps``: ``:45-63, 100-103``)."""
     import jax.numpy as jnp
 
+    from midvision_probe_tpu.evaluators.spair import patch_masks
+
     n = len(dataset)
-    all_same, all_in_both, all_idx_nn = [], [], []
+    all_same, all_in_both, all_idx_nn, all_heat = [], [], [], []
     for start in range(0, n, batch_pairs):
         items = [dataset[i] for i in range(start, min(start + batch_pairs, n))]
         imgs = np.stack([it["img_i"] for it in items]
                         + [it["img_j"] for it in items])
         feats = feature_fn(jnp.asarray(imgs))
         b = len(items)
-        err_same, err_nn, in_both, idx_nn = batch_errors(
+        masks = {}
+        if mask_feats:
+            segs = np.stack([it["seg_i"] for it in items]
+                            + [it["seg_j"] for it in items])
+            pm = patch_masks(jnp.asarray(segs), patch_size)
+            masks = {"masks_i": pm[:b], "masks_j": pm[b:]}
+        out = batch_errors(
             feats[:b], feats[b:],
             jnp.asarray(np.stack([it["kps_i"] for it in items])),
             jnp.asarray(np.stack([it["kps_j"] for it in items])),
             jnp.asarray(np.stack([it["thresh_scale"] for it in items])),
-            image_size,
+            image_size, return_heatmaps=return_heatmaps, **masks,
         )
+        err_same, err_nn, in_both, idx_nn = out[:4]
+        if return_heatmaps:
+            all_heat.append(np.asarray(out[4]))
         all_same.append(np.asarray(err_same))
         all_in_both.append(np.asarray(in_both))
         all_idx_nn.append(np.asarray(idx_nn))
@@ -60,6 +74,8 @@ def evaluate_dataset(feature_fn, dataset, batch_pairs=8, image_size=800):
     kp_max = int(max(src_ind.max(), tgt_ind.max())) + 1 if len(src_ind) else 1
     confusion = np.zeros((kp_max, kp_max))
     np.add.at(confusion, (src_ind, tgt_ind), 1)
+    if return_heatmaps:
+        return recall, confusion, np.concatenate(all_heat)
     return recall, confusion
 
 
@@ -71,6 +87,9 @@ def run(cfg):
 
     classes = (list(CLASS_IDS) if cfg.eval_class == "all"
                else [cfg.eval_class])
+
+    return_heatmaps = bool(cfg.get("return_heatmaps", False))
+    heat_dir = os.path.join(cfg.output_dir, "spair_heatmaps")
 
     class_acc = {}
     for class_name in classes:
@@ -84,10 +103,22 @@ def run(cfg):
             )
             tag = "all" if vp_diff is None else f"{vp_diff:3d}"
             if len(dataset) > 0:
-                rec, _ = evaluate_dataset(
+                out = evaluate_dataset(
                     feature_fn, dataset, cfg.get("batch_pairs", 8),
                     cfg.image_size,
+                    mask_feats=bool(cfg.get("mask_feats", False)),
+                    return_heatmaps=return_heatmaps,
+                    patch_size=model.patch_size,
                 )
+                rec = out[0]
+                if return_heatmaps:
+                    # qualitative output (reference :101-103 returns the
+                    # (K, h, w) similarity maps for notebook rendering)
+                    os.makedirs(heat_dir, exist_ok=True)
+                    np.savez_compressed(
+                        os.path.join(heat_dir,
+                                     f"heatmaps_{class_name}_{tag.strip()}.npz"),
+                        heatmaps=out[2])
                 logger.info("Recall@%.2f %13s %s | %6.2f", THRESH,
                             class_name, tag, rec)
             else:

@@ -23,7 +23,7 @@ class Loader:
     def __init__(self, dataset, batch_size: int, shuffle: bool = False,
                  drop_last: bool = False, seed: int = 0,
                  num_shards: int = 1, shard_index: int = 0,
-                 prefetch: int = 2):
+                 prefetch: int = 2, shuffle_batch_order: bool = False):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -32,6 +32,13 @@ class Loader:
         self.num_shards = num_shards
         self.shard_index = shard_index
         self.prefetch = prefetch
+        # Epoch-seeded permutation of batch ORDER with batch COMPOSITION
+        # fixed: restores the reference's per-epoch reshuffling
+        # (``sampler.set_epoch``, ``train_depth.py:94-95``) for the
+        # feature-cache path, where sample-level shuffling would serve
+        # stale cached features. Each batch carries a stable ``_batch_id``
+        # so the engine keys its cache on identity, not arrival order.
+        self.shuffle_batch_order = shuffle_batch_order
         self.epoch = 0
 
     def set_epoch(self, epoch: int) -> None:
@@ -57,13 +64,20 @@ class Loader:
     def __iter__(self) -> Iterator[dict]:
         idx = self._indices()
         nb = len(self)
+        order = np.arange(nb)
+        if self.shuffle_batch_order:
+            rng = np.random.RandomState(self.seed + 7919 * (self.epoch + 1))
+            rng.shuffle(order)
 
         def produce(q: queue.Queue):
             try:
-                for b in range(nb):
+                for b in order:
                     sel = idx[b * self.batch_size: (b + 1) * self.batch_size]
                     items = [self.dataset[int(i)] for i in sel]
-                    q.put(_stack(items))
+                    batch = _stack(items)
+                    if self.shuffle_batch_order:
+                        batch["_batch_id"] = int(b)
+                    q.put(batch)
                 q.put(None)
             except BaseException as e:  # propagate into consumer
                 q.put(e)
@@ -100,6 +114,7 @@ def build_loader(
     pair_dataset: bool = False,
     shuffle: bool | None = None,
     seed: int = 0,
+    shuffle_batch_order: bool = False,
 ) -> Loader:
     """Instantiate the dataset from config and wrap it (``builder.py:39-67``).
 
@@ -119,4 +134,5 @@ def build_loader(
         seed=seed,
         num_shards=num_shards,
         shard_index=shard_index,
+        shuffle_batch_order=shuffle_batch_order,
     )

@@ -32,6 +32,19 @@ def build_loader(*args, **kwargs):
     return _build_loader(*args, **kwargs)
 
 
+def cache_shuffle_kwargs(cfg: Config) -> dict:
+    """Loader kwargs reconciling feature caching with the reference's
+    per-epoch reshuffling (``sampler.set_epoch``, ``train_depth.py:94-95``).
+
+    Caching keys features by batch, so batch COMPOSITION must stay fixed
+    across epochs — but batch ORDER need not: an epoch-seeded permutation of
+    the batch sequence restores most of the protocol's stochasticity at zero
+    recompute cost. Without caching, full sample-level shuffling applies."""
+    if cfg.get_path("system.cache_features", False):
+        return {"shuffle": False, "shuffle_batch_order": True}
+    return {}
+
+
 def build_backbone(cfg: Config, needs_multilayer: bool):
     """Instantiate the backbone; DPT/multiscale heads need 4 taps — mirror
     the reference README's ``+backbone.return_multilayer=True`` convention
@@ -155,6 +168,7 @@ def emit_csv(cfg: Config, path: str, exp_name: str, backbone, row: dict):
 
 
 __all__ = [
-    "build_backbone", "build_loader", "experiment_name", "setup_experiment",
+    "build_backbone", "build_loader", "cache_shuffle_kwargs",
+    "experiment_name", "setup_experiment",
     "make_trainer", "fit", "flatten_metrics", "emit_csv",
 ]

@@ -123,11 +123,17 @@ class ProbeTrainer:
     def _forward(self, params, batch_stats, images, train: bool,
                  feats=None, bb_vars=None):
         if feats is None:
-            # backbone weights arrive as a traced jit argument (closures
+            # backbone weights must arrive as a traced jit argument (closures
             # inline them into the serialized HLO — the axon tunnel rejects
-            # such compile RPCs with HTTP 413 for ViT-B-sized trees)
+            # such compile RPCs with HTTP 413 for ViT-B-sized trees), so a
+            # trace-time fallback to self.backbone.device_variables would
+            # silently reintroduce the inlining; refuse instead
             if bb_vars is None:
-                bb_vars = self.backbone.device_variables
+                raise ValueError(
+                    "_forward needs bb_vars (as a traced argument) when "
+                    "feats is None — closure-capturing the backbone weights "
+                    "inlines them into the HLO"
+                )
             feats = self.backbone._apply_fn(bb_vars, images)[0]
         feats = [jax.lax.stop_gradient(f) for f in feats]
         new_stats = dict(batch_stats)
@@ -160,12 +166,26 @@ class ProbeTrainer:
 
     # ---------------------------------------------------------------- step
     def _make_train_step(self, cached: bool):
-        def step(state: TrainState, batch: dict, feats=None, bb_vars=None):
+        def step(state: TrainState, batch: dict, n_valid,
+                 feats=None, bb_vars=None):
             def loss_wrt(params):
                 pred, new_stats = self._forward(
                     params, state.batch_stats, batch.get("image"),
                     train=True, feats=feats, bb_vars=bb_vars,
                 )
+                if n_valid is not None:
+                    # ``_pad`` repeats leading rows so shards divide evenly;
+                    # slice predictions and targets back to the true batch
+                    # before the loss so every real sample's gradient is
+                    # weighted exactly once — the reference's partial-final-
+                    # batch semantics. n_valid is static (at most one extra
+                    # compile per epoch, for the final partial batch).
+                    pred_v = pred[:n_valid]
+                    batch_v = {
+                        k: v[:n_valid] if hasattr(v, "ndim") and v.ndim else v
+                        for k, v in batch.items()
+                    }
+                    return self.loss_fn(pred_v, batch_v), new_stats
                 return self.loss_fn(pred, batch), new_stats
 
             (loss, new_stats), grads = jax.value_and_grad(
@@ -181,9 +201,10 @@ class ProbeTrainer:
             )
 
         if cached:
-            return jax.jit(lambda s, b, f: step(s, b, f), donate_argnums=(0,))
-        return jax.jit(lambda s, b, v: step(s, b, None, v),
-                       donate_argnums=(0,))
+            return jax.jit(lambda s, b, n, f: step(s, b, n, feats=f),
+                           static_argnums=(2,), donate_argnums=(0,))
+        return jax.jit(lambda s, b, n, v: step(s, b, n, bb_vars=v),
+                       static_argnums=(2,), donate_argnums=(0,))
 
     def _extract(self, images):
         if self._extract_jit is None:
@@ -201,16 +222,24 @@ class ProbeTrainer:
             self._train_step = self._make_train_step(self.cache_features)
         if self.cache_features and getattr(loader, "shuffle", False):
             raise ValueError(
-                "cache_features requires a deterministic loader "
-                "(shuffle=False); per-epoch reshuffling would serve stale "
-                "features"
+                "cache_features requires fixed batch composition "
+                "(shuffle=False); sample-level reshuffling would serve "
+                "stale features. Use shuffle_batch_order=True for "
+                "epoch-seeded batch-ORDER permutation, which is "
+                "cache-compatible."
             )
         losses = []
         t0 = time.time()
         for i, batch in enumerate(loader):
-            batch = shard_batch(self._pad(_to_jnp(batch)), self.mesh)
+            # stable batch identity for the feature cache: with
+            # shuffle_batch_order the loader permutes arrival order per
+            # epoch, so the enumeration index no longer identifies the
+            # batch's composition
+            bid = batch.pop("_batch_id", i)
+            batch, n_valid = self._pad(_to_jnp(batch))
+            batch = shard_batch(batch, self.mesh)
             if self.cache_features:
-                cached = self._feature_cache.get(i)
+                cached = self._feature_cache.get(bid)
                 if cached is None:
                     feats = self._extract(batch["image"])
                     size = sum(
@@ -218,8 +247,8 @@ class ProbeTrainer:
                     if self._cache_bytes + size <= self._cache_budget:
                         # np.asarray keeps bfloat16 (ml_dtypes) — same dtype
                         # on both paths, so the step never recompiles
-                        self._feature_cache[i] = [np.asarray(f)
-                                                  for f in feats]
+                        self._feature_cache[bid] = [np.asarray(f)
+                                                    for f in feats]
                         self._cache_bytes += size
                     elif logger and not self._cache_full_warned:
                         self._cache_full_warned = True
@@ -229,10 +258,12 @@ class ProbeTrainer:
                             "recompute", self._cache_budget / 1024**3)
                 else:
                     feats = [jax.device_put(f) for f in cached]
-                self.state, loss = self._train_step(self.state, batch, feats)
+                self.state, loss = self._train_step(
+                    self.state, batch, n_valid, feats)
             else:
                 self.state, loss = self._train_step(
-                    self.state, batch, self.backbone.device_variables)
+                    self.state, batch, n_valid,
+                    self.backbone.device_variables)
             losses.append(loss)
             if logger and (i + 1) % log_every == 0:
                 lv = float(jnp.mean(jnp.stack(losses[-log_every:])))
@@ -244,21 +275,25 @@ class ProbeTrainer:
                 wandb.log({"loss_batch": float(loss)})
         return float(jnp.mean(jnp.stack(losses))) if losses else float("nan")
 
-    def _pad(self, batch: dict) -> dict:
+    def _pad(self, batch: dict) -> tuple[dict, int | None]:
         """Pad the batch dim to a multiple of the data-axis size by repeating
-        leading rows (SPMD needs divisible shards; padded rows are real
-        samples so training losses stay valid)."""
+        leading rows (SPMD needs divisible shards). Returns ``(batch,
+        n_valid)`` where ``n_valid`` is the true pre-pad size, or ``None``
+        when nothing was padded; the train step slices predictions and
+        targets back to ``n_valid`` before the loss so the cyclic repeats
+        never double-weight a sample's gradient (reference partial-batch
+        semantics), and ``predict`` slices its output likewise."""
         n_data = self.mesh.shape["data"]
         sizes = {v.shape[0] for v in batch.values()}
         b = max(sizes)
         pad = (-b) % n_data
         if pad == 0:
-            return batch
+            return batch, None
         idx = np.resize(np.arange(b), b + pad)  # cyclic repeat
         return {
             k: np.asarray(v)[idx] if hasattr(v, "shape") else v
             for k, v in batch.items()
-        }
+        }, b
 
     # ----------------------------------------------------------- inference
     def predict(self, batch: dict) -> jnp.ndarray:
@@ -272,7 +307,8 @@ class ProbeTrainer:
             self._eval_step = jax.jit(step)
         batch = _to_jnp(batch)
         b = batch["image"].shape[0]
-        batch = shard_batch(self._pad(batch), self.mesh)
+        batch, _ = self._pad(batch)
+        batch = shard_batch(batch, self.mesh)
         pred = self._eval_step(
             self.state.params, self.state.batch_stats, batch["image"],
             self.backbone.device_variables,

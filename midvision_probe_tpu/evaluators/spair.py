@@ -20,16 +20,41 @@ from midvision_probe_tpu.ops.image import grid_sample
 from midvision_probe_tpu.utils.correspondence import argmax_2d
 
 
-def pair_errors(feats_i, feats_j, kps_i, kps_j, thresh_scale, image_size):
+def patch_masks(segs, patch_size: int = 16):
+    """(B, S, S) 0/1 segmentation masks → (B, S/p, S/p) bool patch masks.
+
+    Reference ``evaluate_spair_correspondence.py:52-53``:
+    ``avg_pool2d(mask, 16) > 4/16**2`` — i.e. keep patches with more than 4
+    foreground pixels. (The reference actually feeds 0/255-valued masks —
+    torchvision ToTensor leaves mode-F PIL images unscaled — making its
+    effective threshold ≥ 1 pixel; we feed normalized 0/1 masks and apply
+    the intended 4-pixel threshold. Latent-bug policy: fix + document.)"""
+    b, s, _ = segs.shape
+    h = s // patch_size
+    pooled = segs.reshape(b, h, patch_size, h, patch_size).mean(axis=(2, 4))
+    return pooled > 4.0 / patch_size**2
+
+
+def pair_errors(feats_i, feats_j, kps_i, kps_j, thresh_scale, image_size,
+                mask_i=None, mask_j=None, return_heatmaps: bool = False):
     """Single pair; vmapped by ``batch_errors``.
 
     Args:
         feats_i/feats_j: (h, w, C) L2-normalized dense features.
         kps_i/kps_j: (K, 3) padded keypoints in *pixel* coords + valid flag.
         thresh_scale: PCK normalization scale.
+        mask_i/mask_j: optional (h, w) bool patch masks — the reference's
+            ``mask_feats`` flag zeroes background-patch features AFTER
+            normalization (``evaluate_spair_correspondence.py:61-63``).
+        return_heatmaps: also return the (K, h, w) similarity heatmaps
+            (reference ``:100-103``).
 
-    Returns (error_same (K,), error_nn (K,), in_both (K,), index_nn (K,)).
+    Returns (error_same (K,), error_nn (K,), in_both (K,), index_nn (K,))
+    [+ heatmaps].
     """
+    if mask_i is not None:
+        feats_i = feats_i * mask_i[..., None].astype(feats_i.dtype)
+        feats_j = feats_j * mask_j[..., None].astype(feats_j.dtype)
     K = kps_i.shape[0]
     kps_i_n = kps_i.at[:, :2].set(kps_i[:, :2] / image_size)
     kps_j_n = kps_j.at[:, :2].set(kps_j[:, :2] / image_size)
@@ -54,15 +79,25 @@ def pair_errors(feats_i, feats_j, kps_i, kps_j, thresh_scale, image_size):
     error_same = jnp.diagonal(errors)
     error_nn = errors.min(axis=1)
     index_nn = errors.argmin(axis=1)
+    if return_heatmaps:
+        return error_same, error_nn, in_both, index_nn, heat
     return error_same, error_nn, in_both, index_nn
 
 
-@functools.partial(jax.jit, static_argnames=("image_size",))
-def batch_errors(feats_i, feats_j, kps_i, kps_j, thresh_scale, image_size):
-    """(B, h, w, C) feature batches → per-pair error pytrees."""
+@functools.partial(jax.jit,
+                   static_argnames=("image_size", "return_heatmaps"))
+def batch_errors(feats_i, feats_j, kps_i, kps_j, thresh_scale, image_size,
+                 masks_i=None, masks_j=None, return_heatmaps: bool = False):
+    """(B, h, w, C) feature batches → per-pair error pytrees. Optional
+    (B, h, w) patch masks enable the reference's ``mask_feats`` path."""
+    fn = functools.partial(pair_errors, image_size=image_size,
+                           return_heatmaps=return_heatmaps)
+    if masks_i is None:
+        return jax.vmap(fn)(feats_i, feats_j, kps_i, kps_j, thresh_scale)
     return jax.vmap(
-        functools.partial(pair_errors, image_size=image_size)
-    )(feats_i, feats_j, kps_i, kps_j, thresh_scale)
+        lambda fi, fj, ki, kj, t, mi, mj: fn(fi, fj, ki, kj, t,
+                                             mask_i=mi, mask_j=mj)
+    )(feats_i, feats_j, kps_i, kps_j, thresh_scale, masks_i, masks_j)
 
 
 def make_feature_fn(backbone):

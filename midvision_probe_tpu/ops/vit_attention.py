@@ -26,18 +26,21 @@ two full VPU passes over the N² score matrix). Safety: scores are clamped
 at +110 before exp2 (f32 exp2 overflows at 128), which only alters
 results when a raw attention logit exceeds 110/log2(e) ≈ 76 — far outside
 the range LayerNorm'd frozen backbones produce. Underflow (a whole row of
-scores below ≈ -126) would yield 0/0, but requires logits < -87
-uniformly, equally out of range; the generic ``vit_attention`` path keeps
-the max-subtracted form for arbitrary inputs.
+scores below ≈ -126, i.e. logits < -87 uniformly) is guarded by clamping
+the normalizer at 1e-30: the pathological row degrades to zeros instead
+of 0/0 → NaN. The generic ``vit_attention`` path keeps the max-subtracted
+form, so it is exact for arbitrary inputs.
 
-Padded key columns are masked to -inf with a single broadcast select over
-the score tile before exp2, so they contribute exactly zero to the row
-sum. (An earlier revision instead let zero-padded columns contribute
-``exp2(0) = 1`` each and subtracted the count from the normalizer — that
-correction catastrophically cancels when every valid score in a row is
-small: at npad = 79 the f32 ulp of the normalizer is ~5e-6, so rows whose
-valid mass sums below that went to Inf. The select costs one VPU pass but
-is exact for any input, including NaN/garbage in padded K rows.)
+In BOTH kernels, padded key columns are masked to -inf with a single
+broadcast select over the score tile before exp2, so they contribute
+exactly zero to the row sum. (An earlier revision instead let zero-padded
+columns contribute ``exp2(0) = 1`` each and subtracted the count from the
+normalizer — that correction catastrophically cancels when every valid
+score in a row is small: at npad = 79 the f32 ulp of the normalizer is
+~5e-6, so rows whose valid mass sums below that went to Inf. Round 2
+fixed this in the fused kernel only; the generic path's ``_softmax_rows``
+kept the subtraction until round 3. The select costs one VPU pass but is
+exact for any input, including NaN/garbage in padded K rows.)
 
 Forward-only Pallas; gradients fall back to the einsum formulation via
 custom_vjp (backbones are frozen in every reference pipeline —
@@ -63,18 +66,19 @@ _VMEM_LIMIT = 100 * 1024 * 1024
 _LOG2E = math.log2(math.e)
 
 
-def _softmax_rows(s2, n_valid: int, n_total: int):
-    """Row softmax of base-2 scores with zero-pad column correction.
-
-    ``s2``: (bq, n_total) f32, already scaled by log2(e); columns >= n_valid
-    are structural zero-padding (score exactly 0)."""
+def _softmax_rows(s2, n_valid: int):
+    """Row softmax of base-2 scores ``s2`` (bq, n_total) f32, already scaled
+    by log2(e). Columns >= ``n_valid`` are structural padding and are masked
+    to -inf BEFORE the max/exp2 so they contribute exactly zero to the row
+    sum — never via a normalizer-count correction, which catastrophically
+    cancels when every valid score in a row is small (see module docstring;
+    the fused kernel had exactly that bug in round 2)."""
+    if n_valid != s2.shape[1]:
+        cols = jax.lax.broadcasted_iota(jnp.int32, s2.shape, 1)
+        s2 = jnp.where(cols < n_valid, s2, -jnp.inf)
     m = jnp.max(s2, axis=1, keepdims=True)
     p = jnp.exp2(s2 - m)
     l = jnp.sum(p, axis=1, keepdims=True)
-    if n_valid != n_total:
-        # padded cols contributed exp2(0 - m) each; V rows there are zero,
-        # so only the normalizer needs correcting
-        l = l - (n_total - n_valid) * jnp.exp2(-m)
     return p, l
 
 
@@ -112,7 +116,10 @@ def _fused_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, n_valid: int,
             cols = jax.lax.broadcasted_iota(jnp.int32, s2.shape, 1)
             s2 = jnp.where(cols < n_valid, s2, -jnp.inf)
         p = jnp.exp2(s2)
-        l = jnp.sum(p, axis=1, keepdims=True)
+        # guard the max-free form's 0/0 window (every valid score below f32
+        # exp2 underflow, i.e. logits < ~-87 uniformly): the pathological row
+        # degrades to zeros instead of NaN, at one VPU op
+        l = jnp.maximum(jnp.sum(p, axis=1, keepdims=True), 1e-30)
         o = jax.lax.dot(p.astype(v.dtype), v[:, sl],
                         preferred_element_type=jnp.float32)
         outs.append(o / l)
@@ -126,7 +133,7 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, n_valid: int):
     s2 = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * (scale * _LOG2E)
-    p, l = _softmax_rows(s2, n_valid, k.shape[0])
+    p, l = _softmax_rows(s2, n_valid)
     o = jax.lax.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
     o_ref[0, 0] = (o / l).astype(o_ref.dtype)
 

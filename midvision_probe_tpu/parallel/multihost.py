@@ -36,8 +36,7 @@ def initialize(coordinator_address: str | None = None,
     or TPU-pod auto-detection inside ``jax.distributed.initialize``) >
     single-process no-op."""
     global _initialized
-    if _initialized or jax.process_count() > 1:
-        _initialized = True
+    if _initialized:
         return
     coordinator_address = coordinator_address or os.environ.get(
         "JAX_COORDINATOR_ADDRESS")
@@ -46,14 +45,23 @@ def initialize(coordinator_address: str | None = None,
     if process_id is None and "JAX_PROCESS_ID" in os.environ:
         process_id = int(os.environ["JAX_PROCESS_ID"])
     if coordinator_address is None and num_processes in (None, 1):
-        # single-process run: nothing to initialize
+        # single-process run: nothing to initialize. IMPORTANT: decide this
+        # WITHOUT touching the backend — even jax.process_count() initializes
+        # XLA, after which jax.distributed.initialize() hard-errors (found by
+        # the real 2-process test, tests/test_multihost_2proc.py; invisible
+        # to any single-process test).
         _initialized = True
         return
-    jax.distributed.initialize(
-        coordinator_address=coordinator_address,
-        num_processes=num_processes,
-        process_id=process_id,
-    )
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except RuntimeError as e:
+        # auto-initialized runtimes (TPU pod) raise 'already initialized'
+        if "already initialized" not in str(e).lower():
+            raise
     _initialized = True
     log.info("jax.distributed initialized: process %d/%d, %d local / %d "
              "global devices", jax.process_index(), jax.process_count(),

@@ -87,5 +87,14 @@ def maybe_wandb(cfg) -> Any:
             config=dict(cfg),
         )
         return wandb
-    except Exception:
+    except Exception as e:
+        # never let a half-working wandb kill a run, but say so loudly —
+        # a silent stub looks like logging worked (ADVICE r2)
+        import logging as _logging
+
+        _logging.getLogger("midvision_probe_tpu").warning(
+            "wandb.use=True but wandb init failed (%s: %s) — falling back "
+            "to a no-op stub; nothing will be logged to W&B",
+            type(e).__name__, e,
+        )
         return _WandbStub()

@@ -1,0 +1,66 @@
+"""Worker for tests/test_multihost_2proc.py — one of two real
+``jax.distributed`` processes (4 virtual CPU devices each → 8 global).
+
+Usage: python _worker_2proc.py <rank> <port> <out_json>
+"""
+
+import json
+import os
+import sys
+
+rank, port, out_path = int(sys.argv[1]), sys.argv[2], sys.argv[3]
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P  # noqa: E402
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from midvision_probe_tpu.parallel import multihost  # noqa: E402
+
+multihost.initialize(coordinator_address=f"localhost:{port}",
+                     num_processes=2, process_id=rank)
+assert jax.process_count() == 2, jax.process_count()
+assert jax.local_device_count() == 4
+assert jax.device_count() == 8
+
+mesh = Mesh(np.asarray(jax.devices()).reshape(8, 1), ("data", "model"))
+
+# deterministic global "dataset": 16 samples of a linear-regression probe
+X = (np.arange(16 * 8, dtype=np.float32).reshape(16, 8) / 100.0)
+Y = (X @ np.linspace(0.1, 0.8, 8, dtype=np.float32)[:, None]
+     + 0.3).astype(np.float32)
+
+# this process's local slice: make_array_from_process_local_data assembles
+# contiguous per-process blocks (process p owns global rows [p*8, (p+1)*8))
+lo, hi = rank * 8, (rank + 1) * 8
+batch = multihost.make_global_batch({"x": X[lo:hi], "y": Y[lo:hi]}, mesh)
+assert batch["x"].shape == (16, 8)
+
+w0 = jax.device_put(jnp.zeros((8, 1), jnp.float32),
+                    NamedSharding(mesh, P()))
+
+
+@jax.jit
+def step(w, b):
+    def loss_fn(w):
+        return jnp.mean((b["x"] @ w - b["y"]) ** 2)
+
+    loss, g = jax.value_and_grad(loss_fn)(w)  # XLA all-reduces the grad
+    return loss, w - 0.1 * g
+
+
+loss0, w1 = step(w0, batch)
+loss1, _ = step(w1, batch)
+result = {"rank": rank, "loss0": float(loss0), "loss1": float(loss1),
+          "process_count": jax.process_count()}
+if rank == 0:
+    with open(out_path, "w") as f:
+        json.dump(result, f)
+print("worker", rank, "ok", result)

@@ -112,3 +112,76 @@ def test_spair_evaluator_identical_images(spair_root):
     recall, confusion = drv.evaluate_dataset(fn, _SelfPair(), batch_pairs=1,
                                              image_size=64)
     assert confusion.sum() == 2
+
+
+def test_patch_masks_hand_computed():
+    """patch_masks vs hand count: a patch is kept iff >4 fg pixels
+    (reference avg_pool2d(16) > 4/16**2 with intended 0/1 masks)."""
+    import jax.numpy as jnp
+
+    from midvision_probe_tpu.evaluators.spair import patch_masks
+
+    seg = np.zeros((1, 32, 32), np.float32)
+    seg[0, 0:2, 0:2] = 1.0      # patch (0,0): 4 px -> NOT kept (>4 strict)
+    seg[0, 0:2, 16:19] = 1.0    # patch (0,1): 6 px -> kept
+    seg[0, 16, 0] = 1.0         # patch (1,0): 1 px -> not kept
+    m = np.asarray(patch_masks(jnp.asarray(seg), patch_size=16))
+    assert m.shape == (1, 2, 2)
+    assert m.tolist() == [[[False, True], [False, False]]]
+
+
+def test_spair_mask_feats_and_heatmaps(spair_root):
+    """mask_feats zeroes background-patch features (reference
+    evaluate_spair_correspondence.py:61-63) and return_heatmaps yields the
+    (K, h, w) similarity maps (:100-103): heatmap columns at masked target
+    patches must be exactly 0."""
+    import jax.numpy as jnp
+
+    from midvision_probe_tpu.datasets.spair import SPairDataset
+    from midvision_probe_tpu.evaluators.spair import (
+        batch_errors,
+        make_feature_fn,
+        patch_masks,
+    )
+    from midvision_probe_tpu.models import zoo
+
+    model = zoo.build_vit_extractor("test_tiny_vit", output="dense",
+                                    return_multilayer=False, init_size=64)
+    ds = SPairDataset(spair_root, "test", image_size=64, use_bbox=False)
+    it = ds[0]
+    fn = make_feature_fn(model)
+    feats = fn(jnp.asarray(np.stack([it["img_i"], it["img_j"]])))
+    p = model.patch_size
+    segs = jnp.asarray(np.stack([it["seg_i"], it["seg_j"]]))
+    pm = patch_masks(segs, p)
+    assert not np.asarray(pm).all(), "fixture must have background patches"
+
+    out = batch_errors(
+        feats[:1], feats[1:],
+        jnp.asarray(it["kps_i"][None]), jnp.asarray(it["kps_j"][None]),
+        jnp.asarray(np.float32([it["thresh_scale"]])), 64,
+        masks_i=pm[:1], masks_j=pm[1:], return_heatmaps=True,
+    )
+    err_same, err_nn, in_both, idx_nn, heat = out
+    h = 64 // p
+    assert heat.shape == (1, it["kps_i"].shape[0], h, h)
+    heat = np.asarray(heat[0])
+    tgt_mask = np.asarray(pm[1])
+    assert (heat[:, ~tgt_mask] == 0).all()
+    assert np.abs(heat[:, tgt_mask]).max() > 0
+
+    # driver path with both flags on
+    import evaluate_spair_correspondence as drv
+
+    class _One:
+        def __len__(self):
+            return 1
+
+        def __getitem__(self, i):
+            return it
+
+    recall, confusion, heatmaps = drv.evaluate_dataset(
+        fn, _One(), batch_pairs=1, image_size=64,
+        mask_feats=True, return_heatmaps=True, patch_size=p)
+    assert heatmaps.shape == (1, it["kps_i"].shape[0], h, h)
+    assert np.isfinite(recall)

@@ -18,6 +18,7 @@ from midvision_probe_tpu.engine.driver_common import (
     probe_dtype_kwargs,
     build_backbone,
     build_loader,
+    cache_shuffle_kwargs,
     emit_csv,
     fit,
     make_trainer,
@@ -35,12 +36,12 @@ def run(cfg):
     head_type = cfg.probe.get("head_type", "dpt")
     backbone = build_backbone(cfg, needs_multilayer=head_type != "linear")
 
-    # feature caching requires a deterministic batch order
-    shuffle = False if cfg.get_path("system.cache_features", False) else None
+    # caching fixes batch composition but keeps per-epoch batch-order
+    # shuffling (cache_shuffle_kwargs; reference sampler.set_epoch)
     train_loader = build_loader(
         cfg.dataset, "trainval", cfg.batch_size,
         seed=cfg.system.get("random_seed", 8),
-        shuffle=shuffle,
+        **cache_shuffle_kwargs(cfg),
     )
     test_loader = build_loader(cfg.dataset, "test", cfg.batch_size)
 

@@ -15,6 +15,7 @@ from midvision_probe_tpu.engine.driver_common import (
     probe_dtype_kwargs,
     build_backbone,
     build_loader,
+    cache_shuffle_kwargs,
     emit_csv,
     fit,
     make_trainer,
@@ -33,10 +34,9 @@ def run(cfg):
     head_type = cfg.probe.get("head_type", "dpt")
     backbone = build_backbone(cfg, needs_multilayer=head_type != "linear")
 
-    shuffle = False if cfg.get_path("system.cache_features", False) else None
     train_loader = build_loader(cfg.dataset, "train", cfg.batch_size,
                                 seed=cfg.system.get("random_seed", 8),
-                                shuffle=shuffle)
+                                **cache_shuffle_kwargs(cfg))
     test_loader = build_loader(cfg.dataset, "test", cfg.batch_size)
 
     example = train_loader.dataset[0]
