@@ -1,0 +1,307 @@
+#!/usr/bin/env python
+"""Attention-kernel experiment bench (round-3 second assault).
+
+Measures candidate single-pass attention kernels on the ViT-B/16@480x640
+probing shape (B=64, Npad=1280, n_valid=1201, H=12, d=64, bf16) against the
+shipping ``fused_qkv_attention`` (57 TF/s in round 2, VPU-bound on exp2+sum;
+matmul-bound ceiling ~98 TF/s at head_dim 64).
+
+Variants (VERDICT round-2 #2):
+  base        — shipping kernel (ops/vit_attention.py)
+  wide4/wide12— 4 / 12 heads per kernel instance (deeper head pipeline for
+                the scheduler to overlap VPU exp2 of head j with MXU of j+1)
+  stagger     — explicit 1-deep software pipeline: QK dot of head j+1 issued
+                before the softmax/PV of head j
+  int8        — QK contraction in int8 (2x MXU rate) with per-head f32
+                rescale folded into the exp2 argument; v stays bf16
+
+Timing: per-iteration host fetch (CLAUDE.md axon hazard — pipelined
+timings through this tunnel are only trusted for the shipping bench).
+TF/s convention: 4 * B * H * N_valid^2 * d per layer-call (useful FLOPs;
+padded work is overhead, not credit).
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+os.makedirs("/tmp/mvp_jax_cache", exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", "/tmp/mvp_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+_LOG2E = math.log2(math.e)
+_VMEM_LIMIT = 100 * 1024 * 1024
+
+
+# ---------------------------------------------------------------- variants
+
+
+def _wide_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, n_valid, head_dim,
+                 mask_kv, stagger: bool):
+    """Width = len(lanes) handles width//head_dim heads; optional 1-deep
+    QK-ahead software pipeline."""
+    q = q_ref[0].astype(jnp.float32) * (scale * _LOG2E)
+    q = q.astype(q_ref.dtype)
+    k = k_ref[0]
+    v = v_ref[0]
+    npad = k.shape[0] - n_valid
+    if mask_kv and npad:
+        rows = jax.lax.broadcasted_iota(jnp.int32, v.shape, 0)
+        v = jnp.where(rows < n_valid, v, jnp.zeros_like(v))
+    g = q.shape[-1] // head_dim
+
+    def qk(j):
+        sl = slice(j * head_dim, (j + 1) * head_dim)
+        return jax.lax.dot_general(
+            q[:, sl], k[:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    def soft_pv(s2, j):
+        sl = slice(j * head_dim, (j + 1) * head_dim)
+        s2 = jnp.minimum(s2, 110.0)
+        if npad:
+            cols = jax.lax.broadcasted_iota(jnp.int32, s2.shape, 1)
+            s2 = jnp.where(cols < n_valid, s2, -jnp.inf)
+        p = jnp.exp2(s2)
+        l = jnp.maximum(jnp.sum(p, axis=1, keepdims=True), 1e-30)
+        o = jax.lax.dot(p.astype(v.dtype), v[:, sl],
+                        preferred_element_type=jnp.float32)
+        return o / l
+
+    outs = []
+    if stagger:
+        s2_cur = qk(0)
+        for j in range(g):
+            s2_next = qk(j + 1) if j + 1 < g else None
+            outs.append(soft_pv(s2_cur, j))
+            s2_cur = s2_next
+    else:
+        for j in range(g):
+            outs.append(soft_pv(qk(j), j))
+    o_ref[0] = jnp.concatenate(outs, axis=-1).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "n_valid", "width",
+                                             "stagger", "interpret"))
+def wide_attention(qkv, scale, n_valid, width=256, stagger=False,
+                   interpret=False):
+    B, N, _, H, d = qkv.shape
+    HD = H * d
+    assert HD % width == 0 and width % d == 0
+    flat = qkv.reshape(B, N, 3 * HD)
+    nblk = HD // width
+    bq = N  # whole-row q tiles (fastest in r2 scans)
+
+    def spec(role, bn):
+        return pl.BlockSpec(
+            (1, bn, width),
+            lambda b, h2, i, r=role, full=(bn == N): (
+                b, 0 if full else i, r * nblk + h2),
+            memory_space=pltpu.VMEM)
+
+    return pl.pallas_call(
+        functools.partial(_wide_kernel, scale=scale, n_valid=n_valid,
+                          head_dim=d, mask_kv=n_valid < N, stagger=stagger),
+        grid=(B, nblk, N // bq),
+        in_specs=[spec(0, bq), spec(1, N), spec(2, N)],
+        out_specs=pl.BlockSpec((1, bq, width), lambda b, h2, i: (b, i, h2),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, N, HD), qkv.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(flat, flat, flat)
+
+
+# ------------------------------------------------------------ int8 variant
+
+
+def _int8_kernel(c_ref, qk_ref, v_ref, o_ref, *, n_valid, head_dim, width,
+                 mask_kv):
+    """qk_ref: (1, N, 2*width) int8 (q block | k block); c_ref: (H,) SMEM
+    combined rescale scale*log2(e)*qs[h]*ks[h]; v bf16."""
+    qk = qk_ref[0]
+    q8 = qk[:, :width]
+    k8 = qk[:, width:]
+    v = v_ref[0]
+    n_total = v.shape[0]
+    npad = n_total - n_valid
+    if mask_kv and npad:
+        rows = jax.lax.broadcasted_iota(jnp.int32, v.shape, 0)
+        v = jnp.where(rows < n_valid, v, jnp.zeros_like(v))
+    g = width // head_dim
+    h2 = pl.program_id(1)
+    outs = []
+    for j in range(g):
+        sl = slice(j * head_dim, (j + 1) * head_dim)
+        s32 = jax.lax.dot_general(
+            q8[:, sl], k8[:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        c = c_ref[h2 * g + j]
+        s2 = s32.astype(jnp.float32) * c
+        s2 = jnp.minimum(s2, 110.0)
+        if npad:
+            cols = jax.lax.broadcasted_iota(jnp.int32, s2.shape, 1)
+            s2 = jnp.where(cols < n_valid, s2, -jnp.inf)
+        p = jnp.exp2(s2)
+        l = jnp.maximum(jnp.sum(p, axis=1, keepdims=True), 1e-30)
+        o = jax.lax.dot(p.astype(v.dtype), v[:, sl],
+                        preferred_element_type=jnp.float32)
+        outs.append(o / l)
+    o_ref[0] = jnp.concatenate(outs, axis=-1).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "n_valid", "width",
+                                             "interpret"))
+def int8_attention(qkv, scale, n_valid, width=128, interpret=False):
+    B, N, _, H, d = qkv.shape
+    HD = H * d
+    q, k, v = jnp.moveaxis(qkv, 2, 0)  # (B, N, H, d) each
+    nv = n_valid
+    # per-head symmetric scales over the VALID rows only (padded rows hold
+    # garbage that must not inflate the scale)
+    qa = jnp.max(jnp.abs(q[:, :nv].astype(jnp.float32)), axis=(0, 1, 3))
+    ka = jnp.max(jnp.abs(k[:, :nv].astype(jnp.float32)), axis=(0, 1, 3))
+    qs = jnp.maximum(qa, 1e-8) / 127.0
+    ks = jnp.maximum(ka, 1e-8) / 127.0
+    c = (scale * _LOG2E) * qs * ks  # (H,)
+
+    def quant(x, s):
+        y = x.astype(jnp.float32) / s[None, None, :, None]
+        return jnp.clip(jnp.round(y), -127, 127).astype(jnp.int8)
+
+    nblk8 = HD // width
+    # interleave q|k per width-block so kernel block h2 reads its own
+    # [q_block | k_block] columns: (B, N, nblk, 2, width) -> (B, N, 2*HD)
+    qk8 = jnp.stack(
+        [quant(q, qs).reshape(B, N, nblk8, width),
+         quant(k, ks).reshape(B, N, nblk8, width)],
+        axis=3).reshape(B, N, 2 * HD)
+    vf = v.reshape(B, N, HD)
+    nblk = HD // width
+
+    grid = (B, nblk, 1)
+    out = pl.pallas_call(
+        functools.partial(_int8_kernel, n_valid=nv, head_dim=d, width=width,
+                          mask_kv=nv < N),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, N, 2 * width),
+                         lambda b, h2, i: (b, 0, h2),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, width), lambda b, h2, i: (b, 0, h2),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, N, width), lambda b, h2, i: (b, 0, h2),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, N, HD), qkv.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(c.astype(jnp.float32), qk8, vf)
+    return out
+
+
+# ------------------------------------------------------------------- bench
+
+
+def f32_oracle(qkv, scale, n_valid):
+    B, N, _, H, d = qkv.shape
+    q, k, v = jnp.moveaxis(qkv.astype(jnp.float32), 2, 0)
+    k, v = k[:, :n_valid], v[:, :n_valid]
+    s = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k,
+                   precision=jax.lax.Precision.HIGHEST)
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("bhqk,bkhd->bqhd", p, v,
+                      precision=jax.lax.Precision.HIGHEST).reshape(B, N, H * d)
+
+
+def time_call(fn, *args, iters=20):
+    out = fn(*args)
+    jax.block_until_ready(out)
+    float(jnp.asarray(out).reshape(-1)[0])
+    ts = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        float(jnp.asarray(out).reshape(-1)[0])  # per-iter host fetch
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts))
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--n-valid", type=int, default=1201)
+    ap.add_argument("--heads", type=int, default=12)
+    ap.add_argument("--hd", type=int, default=64)
+    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--variants", nargs="*",
+                    default=["base", "wide4", "wide12", "stagger4",
+                             "stagger12", "int8"])
+    args = ap.parse_args(argv)
+
+    from midvision_probe_tpu.ops.vit_attention import fused_qkv_attention
+
+    B, H, d = args.batch, args.heads, args.hd
+    N = ((args.n_valid + 127) // 128) * 128
+    nv = args.n_valid
+    scale = d ** -0.5
+    rng = np.random.RandomState(0)
+    qkv = jnp.asarray(
+        rng.randn(B, N, 3, H, d).astype(np.float32) * 0.6
+    ).astype(jnp.bfloat16)
+    flops = 4.0 * B * H * nv * nv * d
+    # RTT floor: per-iteration fetch includes one tunnel round trip; report
+    # both raw and RTT-corrected TF/s using an empty-program fetch
+    tiny = jax.jit(lambda x: x + 1.0)
+    rtt = time_call(tiny, jnp.zeros((1,), jnp.float32), iters=args.iters)
+    print(f"host RTT floor: {rtt*1e3:.1f} ms")
+
+    oracle = np.asarray(f32_oracle(qkv, scale, nv))[:, :nv]
+
+    def report(name, fn):
+        t = time_call(fn, iters=args.iters)
+        tc = max(t - rtt, 1e-9)
+        out = np.asarray(fn()).astype(np.float32)[:, :nv]
+        err = np.max(np.abs(out - oracle))
+        rel = err / max(np.max(np.abs(oracle)), 1e-9)
+        print(f"{name:10s}: {t*1e3:7.2f} ms raw | {tc*1e3:7.2f} ms -RTT | "
+              f"{flops/tc/1e12:6.1f} TF/s | max-abs-err {err:.3e} "
+              f"(rel {rel:.3e})", flush=True)
+
+    for vname in args.variants:
+        if vname == "base":
+            report("base", lambda: fused_qkv_attention(qkv, scale, False, nv))
+        elif vname.startswith("wide"):
+            w = int(vname[4:]) * d
+            report(vname, lambda w=w: wide_attention(qkv, scale, nv, width=w))
+        elif vname.startswith("stagger"):
+            w = int(vname[7:]) * d
+            report(vname, lambda w=w: wide_attention(qkv, scale, nv, width=w,
+                                                     stagger=True))
+        elif vname == "int8":
+            report("int8", lambda: int8_attention(qkv, scale, nv))
+        else:
+            print(f"unknown variant {vname}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
