@@ -71,7 +71,8 @@ def main(argv=None):
     driver = DRIVERS[args.task]
     os.makedirs(os.path.join(args.log_dir, args.task), exist_ok=True)
 
-    def run_one(model: str):
+    def run_one(model: str, idx: int = 0):
+        tag = model if models.count(model) == 1 else f"{model}.{idx}"
         overrides = [f"backbone={model}"]
         if args.task in ("depth", "snorm", "taskonomy"):
             overrides += ["+backbone.return_multilayer=True",
@@ -84,7 +85,7 @@ def main(argv=None):
                               "system.probe_dtype=bfloat16"]
         overrides += list(args.extra)
         cmd = [sys.executable, driver] + overrides
-        log_path = os.path.join(args.log_dir, args.task, f"{model}.log")
+        log_path = os.path.join(args.log_dir, args.task, f"{tag}.log")
         print(f"[sweep] {' '.join(cmd)} -> {log_path}", flush=True)
         if args.dry_run:
             return model, 0, 0.0
@@ -99,9 +100,9 @@ def main(argv=None):
     t_suite = time.time()
     if args.parallel > 1:
         with ThreadPoolExecutor(max_workers=args.parallel) as pool:
-            results = list(pool.map(run_one, models))
+            results = list(pool.map(run_one, models, range(len(models))))
     else:
-        results = [run_one(m) for m in models]
+        results = [run_one(m, i) for i, m in enumerate(models)]
 
     failures = [m for m, ret, _ in results if ret != 0]
     if not args.dry_run:

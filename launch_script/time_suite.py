@@ -75,8 +75,14 @@ def measure_backbone(name: str, batch: int, hw=(480, 480),
     else:
         bb = zoo.build_vit_extractor(name, return_multilayer=multilayer,
                                      dtype=jnp.bfloat16, init_size=224)
+    # kernel_size: 3 is the paper DPT protocol (configs/probe/depth_dpt.yaml
+    # = reference depth_dpt.yaml:7); the linear fast preset uses the
+    # reference Linear default k=1 (``evals/models/probes.py:418``,
+    # configs/probe/depth_linear.yaml) — which also enables the exact
+    # conv<->upsample commute (models/probes.py Linear).
     probe = DepthHead(feat_dim=bb.feat_dim, head_type=head_type,
-                      prediction_type="bindepth", kernel_size=3,  # protocol
+                      prediction_type="bindepth",
+                      kernel_size=1 if head_type == "linear" else 3,
                       dtype=probe_dtype)
     tap_norms = TapNorms(num_taps=len(bb.multilayers))
 

@@ -132,22 +132,37 @@ class MultiscaleHead(nn.Module):
 
 class ResidualConvUnit(nn.Module):
     """``probes.py:263-306``. Transformer branch: conv-relu-conv-relu + x;
-    CNN branch: relu-conv-relu-conv + x."""
+    CNN branch: relu-conv-relu-conv + x.
+
+    ``input_up``: the caller hands ``x`` at 1/input_up resolution and this
+    unit computes ``RCU(nearest_up(x, input_up))`` exactly — conv1 runs as
+    the folded phase conv (``ops/subpixel``, k=3 only) and the residual adds
+    the (cheap) upsampled input. Only valid on the transformer branch, where
+    the DPT taps are nearest-2x upsamples of the patch grid."""
 
     features: int
     kernel_size: int = 3
     is_transformer: bool = False
+    input_up: int = 1
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         f, k = self.features, self.kernel_size
         if self.is_transformer:
-            h = _conv(f, k, dtype=self.dtype, name="conv1")(x)
+            if self.input_up > 1 and k == 3:
+                h = NearestUpConv(f, up=self.input_up, dtype=self.dtype,
+                                  name="conv1")(x)
+                x = resize(x, scale_factor=self.input_up, mode="nearest")
+            else:
+                if self.input_up > 1:  # non-3x3: fold unsupported, upsample
+                    x = resize(x, scale_factor=self.input_up, mode="nearest")
+                h = _conv(f, k, dtype=self.dtype, name="conv1")(x)
             h = nn.relu(h)
             h = _conv(f, k, dtype=self.dtype, name="conv2")(h)
             h = nn.relu(h)
             return h + x
+        assert self.input_up == 1
         h = nn.relu(x)
         h = _conv(f, 3, dtype=self.dtype, name="conv1")(h)
         h = nn.relu(h)
@@ -156,12 +171,17 @@ class ResidualConvUnit(nn.Module):
 
 
 class FeatureFusionBlock(nn.Module):
-    """``probes.py:215-260``."""
+    """``probes.py:215-260``.
+
+    ``input_up``: ``x`` arrives at 1/input_up resolution (the DPT taps'
+    nearest-2x upsample is deferred into the first RCU conv — exact, see
+    ``ResidualConvUnit.input_up``); ``skip_x`` is always full resolution."""
 
     features: int
     kernel_size: int = 3
     with_skip: bool = True
     is_transformer: bool = False
+    input_up: int = 1
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -169,12 +189,17 @@ class FeatureFusionBlock(nn.Module):
         if skip_x is not None and self.with_skip:
             x = ResidualConvUnit(
                 self.features, self.kernel_size, self.is_transformer,
-                dtype=self.dtype, name="resConfUnit1",
+                input_up=self.input_up, dtype=self.dtype, name="resConfUnit1",
             )(x) + skip_x
-        x = ResidualConvUnit(
-            self.features, self.kernel_size, self.is_transformer,
-            dtype=self.dtype, name="resConfUnit2",
-        )(x)
+            x = ResidualConvUnit(
+                self.features, self.kernel_size, self.is_transformer,
+                dtype=self.dtype, name="resConfUnit2",
+            )(x)
+        else:
+            x = ResidualConvUnit(
+                self.features, self.kernel_size, self.is_transformer,
+                input_up=self.input_up, dtype=self.dtype, name="resConfUnit2",
+            )(x)
         if not self.is_transformer:
             x = resize(x, scale_factor=2, mode="bilinear", align_corners=True)
         return x
@@ -213,12 +238,16 @@ class DPT(nn.Module):
                 _conv(hd, 1, dtype=self.dtype, name=f"conv_{i}")(f)
                 for i, f in enumerate(feats)
             ]
-            # bare F.interpolate(scale_factor=2) == nearest (probes.py:388)
-            feats = [resize(f, scale_factor=2, mode="nearest") for f in feats]
+            # bare F.interpolate(scale_factor=2) == nearest (probes.py:388).
+            # The upsample is NOT materialized here: each fusion block's
+            # first RCU conv reads the piecewise-constant map via the folded
+            # phase conv (exact, 16/36 of the FLOPs — see ops/subpixel) and
+            # reconstitutes the 2x residual internally (input_up=2 below).
 
+        up = 1 if rn else 2
         fuse = lambda i, with_skip: FeatureFusionBlock(  # noqa: E731
             hd, k, with_skip=with_skip, is_transformer=not rn,
-            dtype=self.dtype, name=f"ref_{i}",
+            input_up=up, dtype=self.dtype, name=f"ref_{i}",
         )
         out = fuse(3, False)(feats[3], None)
         out = fuse(2, True)(feats[2], out)

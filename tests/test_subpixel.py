@@ -104,3 +104,52 @@ def test_linear_decoder_k3_unchanged():
     out = m.apply(v, feats)
     assert out.shape == (1, 24, 24, 3)
     assert v["params"]["conv"]["kernel"].shape == (3, 3, 5, 3)
+
+
+def _conv2d(x, p, pad=1):
+    y = jax.lax.conv_general_dilated(
+        x, p["kernel"], (1, 1), ((pad, pad), (pad, pad)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return y + p["bias"]
+
+
+def test_dpt_transformer_branch_matches_reference_order():
+    """Whole-DPT equivalence: the folded decoder (input_up RCUs +
+    NearestUpConv out_conv_0) must equal the literal reference op order
+    (resize-then-conv everywhere, ``evals/models/probes.py:377-399``) for
+    the SAME parameter pytree."""
+    from midvision_probe_tpu.models.probes import DPT
+
+    hd = 16
+    rng = np.random.RandomState(5)
+    feats = [jnp.asarray(rng.randn(2, 6, 8, 12).astype(np.float32))
+             for _ in range(4)]
+    m = DPT(output_dim=5, hidden_dim=hd, kernel_size=3, resnet_mode=False)
+    v = m.init(jax.random.PRNGKey(0), feats)
+    got = m.apply(v, feats)
+    p = v["params"]
+
+    def rcu(pp, x):
+        h = jax.nn.relu(_conv2d(x, pp["conv1"]))
+        h = jax.nn.relu(_conv2d(h, pp["conv2"]))
+        return h + x
+
+    def ffb(pp, x, skip):
+        if skip is not None:
+            x = rcu(pp["resConfUnit1"], x) + skip
+        return rcu(pp["resConfUnit2"], x)
+
+    f = [_conv2d(feats[i], p[f"conv_{i}"], pad=0) for i in range(4)]
+    f = [resize(x, scale_factor=2, mode="nearest") for x in f]
+    out = ffb(p["ref_3"], f[3], None)
+    out = ffb(p["ref_2"], f[2], out)
+    out = ffb(p["ref_1"], f[1], out)
+    out = ffb(p["ref_0"], f[0], out)
+    out = resize(out, scale_factor=4, mode="nearest")
+    out = jax.nn.relu(_conv2d(out, p["out_conv_0"]))
+    out = _conv2d(out, p["out_conv_1"])
+    ref = resize(out, scale_factor=2, mode="nearest")
+
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=3e-4, atol=3e-4)
