@@ -253,8 +253,7 @@ def main(argv=None):
     ap.add_argument("--hd", type=int, default=64)
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--variants", nargs="*",
-                    default=["base", "wide4", "wide12", "stagger4",
-                             "stagger12", "int8"])
+                    default=["base", "wide4", "stagger4", "wide12", "int8"])
     args = ap.parse_args(argv)
 
     from midvision_probe_tpu.ops.vit_attention import fused_qkv_attention
