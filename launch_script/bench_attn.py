@@ -254,6 +254,10 @@ def main(argv=None):
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--variants", nargs="*",
                     default=["base", "wide4", "stagger4", "wide12", "int8"])
+    ap.add_argument("--no-oracle", action="store_true",
+                    help="skip the f32 oracle (its (B,H,N,N) f32 scores "
+                         "don't fit HBM at large --batch; accuracy is "
+                         "checked at the default batch instead)")
     args = ap.parse_args(argv)
 
     from midvision_probe_tpu.ops.vit_attention import fused_qkv_attention
@@ -273,17 +277,21 @@ def main(argv=None):
     rtt = time_call(tiny, jnp.zeros((1,), jnp.float32), iters=args.iters)
     print(f"host RTT floor: {rtt*1e3:.1f} ms")
 
-    oracle = np.asarray(f32_oracle(qkv, scale, nv))[:, :nv]
+    oracle = None
+    if not args.no_oracle:
+        oracle = np.asarray(f32_oracle(qkv, scale, nv))[:, :nv]
 
     def report(name, fn):
         t = time_call(fn, iters=args.iters)
         tc = max(t - rtt, 1e-9)
-        out = np.asarray(fn()).astype(np.float32)[:, :nv]
-        err = np.max(np.abs(out - oracle))
-        rel = err / max(np.max(np.abs(oracle)), 1e-9)
-        print(f"{name:10s}: {t*1e3:7.2f} ms raw | {tc*1e3:7.2f} ms -RTT | "
-              f"{flops/tc/1e12:6.1f} TF/s | max-abs-err {err:.3e} "
-              f"(rel {rel:.3e})", flush=True)
+        msg = (f"{name:10s}: {t*1e3:7.2f} ms raw | {tc*1e3:7.2f} ms -RTT | "
+               f"{flops/tc/1e12:6.1f} TF/s")
+        if oracle is not None:
+            out = np.asarray(fn()).astype(np.float32)[:, :nv]
+            err = np.max(np.abs(out - oracle))
+            rel = err / max(np.max(np.abs(oracle)), 1e-9)
+            msg += f" | max-abs-err {err:.3e} (rel {rel:.3e})"
+        print(msg, flush=True)
 
     for vname in args.variants:
         if vname == "base":
