@@ -63,6 +63,13 @@ class ViTConfig:
     use_rel_pos: bool = False  # SAM decomposed relative positions
     final_norm: bool = False  # apply final LN to tapped outputs
     pre_norm: bool = False  # CLIP-style LN before the blocks
+    # Roll the (homogeneous) block stack into one lax.scan body instead of
+    # unrolling depth copies of the block HLO. Same math, ~depth-times
+    # smaller program — required to get ViT-L+ programs through tunnelled
+    # remote-compile services with request-size limits. Param layout changes
+    # to `blocks_scan/block/**` with a leading depth axis; use
+    # ``stack_block_variables`` to adapt per-block checkpoints.
+    scan_blocks: bool = False
     dtype: Any = jnp.float32
 
     @property
@@ -296,6 +303,41 @@ class Block(nn.Module):
         return x + h
 
 
+class _TapBlock(nn.Module):
+    """Scan body: one Block step that also emits its output as the
+    per-iteration tap (nn.scan requires a ``(carry, y)`` return)."""
+
+    cfg: ViTConfig
+    grid_hw: tuple
+    n_valid: int | None
+
+    @nn.compact
+    def __call__(self, x, pos_2d):
+        x = Block(self.cfg, 0, name="block")(x, pos_2d, self.grid_hw,
+                                             self.n_valid)
+        return x, x
+
+
+def stack_block_variables(variables, depth: int):
+    """Adapt a per-block param tree (``blocks_0`` .. ``blocks_{depth-1}``,
+    the converter/checkpoint layout) to the ``scan_blocks=True`` layout
+    (``blocks_scan/block/**`` with a leading depth axis).
+
+    Host-side numpy stacking — call once at load time, not per step.
+    """
+    import copy
+
+    variables = jax.tree_util.tree_map(np.asarray, dict(variables))
+    params = dict(variables["params"])
+    blocks = [params.pop(f"blocks_{i}") for i in range(depth)]
+    params["blocks_scan"] = {
+        "block": jax.tree_util.tree_map(lambda *xs: np.stack(xs), *blocks)
+    }
+    out = copy.copy(variables)
+    out["params"] = params
+    return out
+
+
 class ViT(nn.Module):
     """Generic ViT; ``__call__`` returns per-block token taps.
 
@@ -412,13 +454,31 @@ class ViT(nn.Module):
             if c.final_norm
             else None
         )
-        for i in range(c.depth):
-            x = Block(c, i, name=f"blocks_{i}")(x, pos_2d, (gh, gw), n_valid)
-            if i in taps:
-                tap = x[:, :n_tokens]
+        if c.scan_blocks:
+            # One compiled block body instead of `depth` unrolled copies;
+            # ys materializes every block's tokens ((depth, B, N, C)) —
+            # cheap next to the trunk's activations at probing batches.
+            scanned = nn.scan(
+                _TapBlock,
+                variable_axes={"params": 0, "intermediates": 0},
+                split_rngs={"params": True},
+                in_axes=nn.broadcast,
+                length=c.depth,
+            )(c, (gh, gw), n_valid, name="blocks_scan")
+            _, ys = scanned(x, pos_2d)
+            for i in taps:
+                tap = ys[i][:, :n_tokens]
                 outputs[i] = final_norm(tap) if final_norm is not None else tap
-            if i == max_tap:
-                break
+        else:
+            for i in range(c.depth):
+                x = Block(c, i, name=f"blocks_{i}")(x, pos_2d, (gh, gw),
+                                                    n_valid)
+                if i in taps:
+                    tap = x[:, :n_tokens]
+                    outputs[i] = (final_norm(tap) if final_norm is not None
+                                  else tap)
+                if i == max_tap:
+                    break
 
         return {
             "tokens": [outputs[i] for i in taps],

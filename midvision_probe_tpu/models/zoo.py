@@ -426,6 +426,12 @@ def build_vit_extractor(
 ) -> FeatureExtractor:
     entry = ZOO[name]
     cfg = ViTConfig(dtype=dtype, **entry.vit)
+    # MVP_SCAN_BLOCKS=1 rolls the block stack into one lax.scan body —
+    # ~depth-times smaller HLO, needed to fit ViT-L+ programs through
+    # remote-compile tunnels with request-size limits (same math; see
+    # models/vit.py ViTConfig.scan_blocks).
+    if os.environ.get("MVP_SCAN_BLOCKS") == "1":
+        cfg = dataclasses.replace(cfg, scan_blocks=True)
     if cfg.pos_embed == "learned" and cfg.table_grid is None:
         # pin the canonical pos-embed grid to the init resolution so inputs
         # of any other size resize the table instead of re-shaping the param
@@ -438,6 +444,11 @@ def build_vit_extractor(
 
     module = ViT(cfg)
     variables, extras = load_variables(entry, cfg)
+    if variables is not None and cfg.scan_blocks:
+        # converters emit the per-block (`blocks_i`) layout; adapt once
+        from midvision_probe_tpu.models.vit import stack_block_variables
+
+        variables = stack_block_variables(variables, cfg.depth)
     feat_dim = cfg.width * (2 if output == "dense-cls" else 1)
     spec = FeatureSpec(
         feat_dim=[feat_dim] * len(multilayers) if return_multilayer else feat_dim,

@@ -1,0 +1,62 @@
+"""scan_blocks=True must be numerically identical to the unrolled loop.
+
+The scan mode exists to shrink ViT-L+ HLO ~depth-fold (one lax.scan body
+instead of `depth` unrolled block copies) so large programs fit through
+remote-compile tunnels; it must not change the math or the tap protocol
+(reference capture loop: dino.py:181-195).
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from midvision_probe_tpu.models.vit import (
+    ViT,
+    ViTConfig,
+    stack_block_variables,
+)
+
+CFGS = {
+    "plain": dict(),
+    "layerscale": dict(layerscale=True, num_register_tokens=2),
+    "rope": dict(rope=True, pos_embed="none", class_token=False),
+    "finalnorm": dict(final_norm=True, pos_embed="sincos2d"),
+}
+
+
+@pytest.mark.parametrize("variant", sorted(CFGS))
+def test_scan_matches_loop(variant):
+    base = ViTConfig(patch_size=8, width=64, depth=4, num_heads=2,
+                     **CFGS[variant])
+    scan = dataclasses.replace(base, scan_blocks=True)
+    taps = (1, 3)
+
+    img = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 24, 3))
+    variables = jax.jit(ViT(base).init,
+                        static_argnums=2)(jax.random.PRNGKey(0), img, taps)
+    out_loop = ViT(base).apply(variables, img, taps=taps)
+
+    stacked = stack_block_variables(variables, base.depth)
+    out_scan = ViT(scan).apply(stacked, img, taps=taps)
+
+    assert out_scan["grid_hw"] == out_loop["grid_hw"]
+    for a, b in zip(out_loop["tokens"], out_scan["tokens"]):
+        assert a.shape == b.shape
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-5)
+
+
+def test_scan_init_shapes():
+    """Random init in scan mode creates the stacked layout directly (and
+    per-layer weights differ — split_rngs)."""
+    cfg = ViTConfig(patch_size=8, width=64, depth=3, num_heads=2,
+                    scan_blocks=True)
+    img = jnp.zeros((1, 16, 16, 3))
+    variables = ViT(cfg).init(jax.random.PRNGKey(0), img, taps=(2,))
+    blk = variables["params"]["blocks_scan"]["block"]
+    w = np.asarray(blk["attn"]["qkv"]["kernel"])
+    assert w.shape == (3, 64, 192)
+    assert not np.allclose(w[0], w[1])
