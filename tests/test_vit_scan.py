@@ -24,6 +24,9 @@ CFGS = {
     "layerscale": dict(layerscale=True, num_register_tokens=2),
     "rope": dict(rope=True, pos_embed="none", class_token=False),
     "finalnorm": dict(final_norm=True, pos_embed="sincos2d"),
+    # BEiT family (beitv2/midas_l16): per-block relative position bias
+    # tables + LayerScale, no absolute pos embed
+    "beit": dict(rel_pos_bias=True, layerscale=True, pos_embed="none"),
 }
 
 
