@@ -413,6 +413,19 @@ def _random_init(module, size: int, example_kw: dict | None = None) -> dict:
 # --------------------------------------------------------------------------
 # generic builders
 # --------------------------------------------------------------------------
+def _use_scan_blocks(depth: int) -> bool:
+    """MVP_SCAN_BLOCKS=1/0 forces the lax.scan block stack on/off —
+    ~depth-times smaller HLO, same math (models/vit.py
+    ViTConfig.scan_blocks). Unset = auto: L+-deep ViTs overflow the
+    axon tunnel's remote-compile request limit unrolled
+    (logs/vitl_tunnel_r4.md), so they scan there; everything else keeps
+    the unrolled default (taps stop at max_tap, no stacked-ys cost)."""
+    scan_env = os.environ.get("MVP_SCAN_BLOCKS")
+    if scan_env is None:
+        return depth >= 24 and jax.default_backend() == "axon"
+    return scan_env == "1"
+
+
 def build_vit_extractor(
     name: str,
     output: str = "dense",
@@ -426,11 +439,7 @@ def build_vit_extractor(
 ) -> FeatureExtractor:
     entry = ZOO[name]
     cfg = ViTConfig(dtype=dtype, **entry.vit)
-    # MVP_SCAN_BLOCKS=1 rolls the block stack into one lax.scan body —
-    # ~depth-times smaller HLO, needed to fit ViT-L+ programs through
-    # remote-compile tunnels with request-size limits (same math; see
-    # models/vit.py ViTConfig.scan_blocks).
-    if os.environ.get("MVP_SCAN_BLOCKS") == "1":
+    if _use_scan_blocks(cfg.depth):
         cfg = dataclasses.replace(cfg, scan_blocks=True)
     if cfg.pos_embed == "learned" and cfg.table_grid is None:
         # pin the canonical pos-embed grid to the init resolution so inputs

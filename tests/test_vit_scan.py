@@ -52,6 +52,25 @@ def test_scan_matches_loop(variant):
                                    rtol=2e-5, atol=2e-5)
 
 
+def test_zoo_scan_auto(monkeypatch):
+    """Unset env = auto (deep models scan on axon only); MVP_SCAN_BLOCKS
+    forces either way."""
+    from midvision_probe_tpu.models import zoo
+
+    def decide(depth, backend):
+        monkeypatch.setattr(jax, "default_backend", lambda: backend)
+        return zoo._use_scan_blocks(depth)
+
+    monkeypatch.delenv("MVP_SCAN_BLOCKS", raising=False)
+    assert not decide(24, "cpu")
+    assert decide(24, "axon")          # ViT-L depth on the tunnel
+    assert not decide(12, "axon")      # ViT-B stays unrolled
+    monkeypatch.setenv("MVP_SCAN_BLOCKS", "0")
+    assert not decide(24, "axon")
+    monkeypatch.setenv("MVP_SCAN_BLOCKS", "1")
+    assert decide(12, "cpu")
+
+
 def test_scan_init_shapes():
     """Random init in scan mode creates the stacked layout directly (and
     per-layer weights differ — split_rngs)."""
