@@ -121,3 +121,97 @@ class SyntheticBinaryMask:
             "mask": mask[..., None],
             "num_objects": np.int32(1),
         }
+
+
+class SyntheticNAVIPairs:
+    """NAVI-pair-shaped items (layout of ``navi.NAVI.__getitem__`` with
+    ``pair_dataset=True``; reference ``navi.py:166-189``): two "views" of
+    one smooth synthetic surface.
+
+    Geometric construction: the world frame is camera 0's frame, so
+    ``xyz_grid_0`` comes from unprojecting a smooth depth field, and view 1
+    carries the SAME per-pixel 3D points expressed in a rotated+translated
+    camera frame (``xyz_grid_1 = Rt_01 ∘ xyz_grid_0``) with the image
+    appearance unchanged up to noise. Matching pixel i↔i is then exactly
+    correct, so correspondence recall measures the full feature-matching +
+    SE(3)/projection pipeline rather than rendering fidelity: a backbone
+    whose features identify the pixel recovers ~100% recall@1cm, while
+    mismatches land on far-away surface points.
+    """
+
+    name = "synthetic-navi"
+
+    def __init__(self, num_instances=8, image_size=64, seed=1,
+                 max_angle_deg=90.0, pair_dataset=True, **_):
+        if not pair_dataset:
+            raise ValueError("SyntheticNAVIPairs only serves pair items")
+        self.num_instances = num_instances
+        self.image_size = (image_size if isinstance(image_size, int)
+                           else min(image_size))
+        self.seed = seed
+        self.max_angle_deg = max_angle_deg
+
+    def __len__(self):
+        return self.num_instances
+
+    def __getitem__(self, index):
+        from midvision_probe_tpu.datasets.navi_utils import pixel_grid
+
+        s = self.image_size
+        rng = np.random.RandomState(self.seed * 60013 + index)
+
+        base = rng.randn(s // 8 + 2, s // 8 + 2)
+        ys = np.linspace(0, base.shape[0] - 1.001, s)
+        xs = np.linspace(0, base.shape[1] - 1.001, s)
+        yi, xi = np.floor(ys).astype(int), np.floor(xs).astype(int)
+        fy, fx = (ys - yi)[:, None], (xs - xi)[None, :]
+        d = (base[yi][:, xi] * (1 - fy) * (1 - fx)
+             + base[yi + 1][:, xi] * fy * (1 - fx)
+             + base[yi][:, xi + 1] * (1 - fy) * fx
+             + base[yi + 1][:, xi + 1] * fy * fx)
+        depth = (3.0 + 1.2 * d).clip(1.0, 6.0).astype(np.float32)[..., None]
+
+        K = np.eye(3, dtype=np.float32)
+        K[0, 0] = K[1, 1] = float(s)
+        K[0, 2] = K[1, 2] = 0.5 * s
+        xyz0 = ((pixel_grid(s, s) * depth) @ np.linalg.inv(K).T
+                ).astype(np.float32)
+
+        gy, gx = np.gradient(depth[..., 0])
+        n = np.stack([-gx, -gy, np.ones_like(depth[..., 0])], axis=-1)
+        n /= np.linalg.norm(n, axis=-1, keepdims=True)
+        image = np.stack([depth[..., 0] / 6.0,
+                          n[..., 0] * 0.5 + 0.5,
+                          n[..., 1] * 0.5 + 0.5], axis=-1).astype(np.float32)
+
+        # relative pose: random-axis rotation (angle index-stratified so the
+        # rotation-binned metric has mass in every [0,120]° bin) + small t
+        angle = np.deg2rad(self.max_angle_deg) * (
+            (index + rng.rand()) / max(1, self.num_instances))
+        axis = rng.randn(3)
+        axis /= np.linalg.norm(axis)
+        kx, ky, kz = axis
+        Kx = np.array([[0, -kz, ky], [kz, 0, -kx], [-ky, kx, 0]], np.float64)
+        R = (np.eye(3) + np.sin(angle) * Kx
+             + (1 - np.cos(angle)) * (Kx @ Kx)).astype(np.float32)
+        t = (rng.randn(3) * 0.05).astype(np.float32)
+        Rt_01 = np.eye(4, dtype=np.float32)
+        Rt_01[:3, :3], Rt_01[:3, 3] = R, t
+        xyz1 = (xyz0 @ R.T + t).astype(np.float32)
+
+        noise0 = rng.randn(s, s, 3).astype(np.float32) * 0.01
+        noise1 = rng.randn(s, s, 3).astype(np.float32) * 0.01
+        out = {}
+        for v, (img, xyz, Rt) in enumerate(
+                [(image + noise0, xyz0, np.eye(4, dtype=np.float32)),
+                 (image + noise1, xyz1, Rt_01)]):
+            out[f"image_{v}"] = img
+            out[f"depth_{v}"] = depth
+            out[f"class_id_{v}"] = np.int32(index)
+            out[f"intrinsics_{v}"] = K
+            out[f"snorm_{v}"] = n.astype(np.float32)
+            out[f"Rt_{v}"] = Rt
+            out[f"xyz_grid_{v}"] = xyz
+        out["Rt_01"] = Rt_01
+        out["pair_id"] = f"{index}-{index}"
+        return out

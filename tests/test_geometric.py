@@ -104,3 +104,26 @@ def test_scannet_driver_with_fake_dataset(tmp_path, rng):
     out = drv.run(cfg, dataset=FakeScanNet())
     assert out["err_3d"].shape == (2, 20)
     assert (tmp_path / "scannet_correspondence_final.csv").exists()
+
+
+def test_navi_driver_with_synthetic_pairs(tmp_path):
+    """Full `evaluate_navi_correspondence` driver through the config surface
+    (`dataset=synthetic_navi`). The synthetic pairs share appearance but
+    carry rotated camera-1 coordinates (xyz_1 = Rt_01 ∘ xyz_0), so a
+    deterministic backbone matches pixel i↔i and 3D recall@2cm must be
+    ~perfect; the rotation-binned rows must all have mass."""
+    from midvision_probe_tpu.config import compose
+
+    import evaluate_navi_correspondence as drv
+
+    cfg = compose(
+        "navi_correspondence",
+        ["backbone=test_tiny", "dataset=synthetic_navi",
+         "dataset.num_instances=8", "num_corr=100", "batch_pairs=4",
+         "scale_factor=0.25", f"output_dir={tmp_path}"],
+    )
+    out = drv.run(cfg)
+    assert out["err_3d"].shape == (8, 100)
+    rec2cm = (out["err_3d"] < 0.02).mean()
+    assert rec2cm > 0.9, f"identity-matchable pairs must recall: {rec2cm}"
+    assert (tmp_path / "navi_correspondence_final.csv").exists()
