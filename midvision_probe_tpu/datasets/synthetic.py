@@ -215,3 +215,103 @@ class SyntheticNAVIPairs:
         out["Rt_01"] = Rt_01
         out["pair_id"] = f"{index}-{index}"
         return out
+
+
+class SyntheticScanNetPairs:
+    """ScanNet-pair-shaped items (layout of ``scannet_pairs.py:60-87``):
+    two views of a textured 3D PLANE, rendered exactly.
+
+    Unlike :class:`SyntheticNAVIPairs` (which ships per-pixel xyz grids),
+    the ScanNet protocol unprojects DEPTH maps through K, so view 1 must be
+    a true re-render. A plane makes that closed-form: depth along each ray
+    is ``c / (n · K⁻¹p̃)`` and appearance warps by the plane homography
+    ``H = K (R − t·nᵀ/c) K⁻¹``, sampled bilinearly from view 0's texture.
+    ``max_angle_deg=0`` with ``t_scale=0`` degenerates to identity pairs
+    (exactly matchable pixel i↔i) for recall-asserting tests; nonzero
+    angles give honest novel-view geometry.
+    """
+
+    name = "synthetic-scannet"
+
+    def __init__(self, num_instances=8, image_hw=(64, 64), seed=2,
+                 max_angle_deg=0.0, t_scale=0.0, **_):
+        self.num_instances = num_instances
+        self.image_hw = tuple(image_hw)
+        self.seed = seed
+        self.max_angle_deg = max_angle_deg
+        self.t_scale = t_scale
+
+    def __len__(self):
+        return self.num_instances
+
+    def _rays(self, K):
+        h, w = self.image_hw
+        xx, yy = np.meshgrid(np.arange(w) + 0.5, np.arange(h) + 0.5)
+        p = np.stack([xx, yy, np.ones_like(xx)], axis=-1)
+        return p @ np.linalg.inv(K).T  # (h, w, 3)
+
+    def __getitem__(self, index):
+        h, w = self.image_hw
+        rng = np.random.RandomState(self.seed * 49999 + index)
+
+        K = np.eye(3, dtype=np.float32)
+        K[0, 0] = K[1, 1] = 0.8 * w
+        K[0, 2], K[1, 2] = 0.5 * w, 0.5 * h
+
+        # gently tilted plane n·X = c, all rays hitting in front
+        n0 = np.array([0.15 * rng.randn(), 0.15 * rng.randn(), 1.0])
+        n0 /= np.linalg.norm(n0)
+        c = 3.0 + rng.rand()
+
+        # smooth random texture, indexed by view-0 pixel coordinates
+        base = rng.randn(h // 8 + 2, w // 8 + 2, 3)
+        ys = np.linspace(0, base.shape[0] - 1.001, h)
+        xs = np.linspace(0, base.shape[1] - 1.001, w)
+        yi, xi = np.floor(ys).astype(int), np.floor(xs).astype(int)
+        fy = (ys - yi)[:, None, None]
+        fx = (xs - xi)[None, :, None]
+        tex = (base[yi][:, xi] * (1 - fy) * (1 - fx)
+               + base[yi + 1][:, xi] * fy * (1 - fx)
+               + base[yi][:, xi + 1] * (1 - fy) * fx
+               + base[yi + 1][:, xi + 1] * fy * fx).astype(np.float32)
+
+        rays = self._rays(K)
+        depth_0 = (c / (rays @ n0)).astype(np.float32)
+        rgb_0 = tex + rng.randn(h, w, 3).astype(np.float32) * 0.01
+
+        angle = np.deg2rad(self.max_angle_deg) * rng.rand()
+        axis = rng.randn(3)
+        axis /= np.linalg.norm(axis)
+        kx, ky, kz = axis
+        Kx = np.array([[0, -kz, ky], [kz, 0, -kx], [-ky, kx, 0]], np.float64)
+        R = (np.eye(3) + np.sin(angle) * Kx
+             + (1 - np.cos(angle)) * (Kx @ Kx))
+        t = rng.randn(3) * self.t_scale
+
+        # plane in cam-1 frame: X1 = R X0 + t  =>  (R n0)·X1 = c + (R n0)·t
+        n1, c1 = R @ n0, c + (R @ n0) @ t
+        depth_1 = (c1 / (rays @ n1)).astype(np.float32)
+
+        # re-render: X1 along each view-1 ray -> cam-0 -> view-0 pixel
+        X1 = rays * depth_1[..., None]
+        X0 = (X1 - t) @ R  # == R^T @ (X1 - t) rowwise
+        p0 = X0 @ K.T
+        u = np.clip(p0[..., 0] / p0[..., 2] - 0.5, 0, w - 1.001)
+        v = np.clip(p0[..., 1] / p0[..., 2] - 0.5, 0, h - 1.001)
+        ui, vi = np.floor(u).astype(int), np.floor(v).astype(int)
+        fu, fv = (u - ui)[..., None], (v - vi)[..., None]
+        rgb_1 = (tex[vi, ui] * (1 - fv) * (1 - fu)
+                 + tex[vi + 1, ui] * fv * (1 - fu)
+                 + tex[vi, ui + 1] * (1 - fv) * fu
+                 + tex[vi + 1, ui + 1] * fv * fu).astype(np.float32)
+        rgb_1 += rng.randn(h, w, 3).astype(np.float32) * 0.01
+
+        Rt_01 = np.eye(4, dtype=np.float32)
+        Rt_01[:3, :3] = R.astype(np.float32)
+        Rt_01[:3, 3] = t.astype(np.float32)
+        return {
+            "rgb_0": rgb_0, "rgb_1": rgb_1,
+            "depth_0": depth_0, "depth_1": depth_1,
+            "Rt_0": np.eye(4, dtype=np.float32), "Rt_1": Rt_01,
+            "K": K,
+        }

@@ -36,8 +36,13 @@ def run(cfg, dataset=None):
                         return_multilayer=cfg.multilayer)
     feature_fn = make_feature_fn(model)
     if dataset is None:
-        dataset = ScanNetPairsDataset(root=cfg.get("scannet_root",
-                                                   "data/scannet_test_1500"))
+        if cfg.get("dataset") is not None:
+            # config-surface dataset group (dataset=scannet |
+            # synthetic_scannet); scannet_root kept for reference-CLI compat
+            dataset = instantiate(cfg.dataset)
+        else:
+            dataset = ScanNetPairsDataset(root=cfg.get("scannet_root",
+                                                       "data/scannet_test_1500"))
     loader = Loader(dataset, cfg.get("batch_pairs", 4))
 
     sf = cfg.scale_factor

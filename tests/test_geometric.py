@@ -127,3 +127,46 @@ def test_navi_driver_with_synthetic_pairs(tmp_path):
     rec2cm = (out["err_3d"] < 0.02).mean()
     assert rec2cm > 0.9, f"identity-matchable pairs must recall: {rec2cm}"
     assert (tmp_path / "navi_correspondence_final.csv").exists()
+
+
+def test_synthetic_scannet_plane_geometry():
+    """The plane re-render must be self-consistent: unproject view 1's
+    depth, map into camera 0, and the points must land on view 0's depth
+    surface (same 3D plane)."""
+    from midvision_probe_tpu.datasets.synthetic import SyntheticScanNetPairs
+
+    ds = SyntheticScanNetPairs(num_instances=2, image_hw=(48, 64),
+                               max_angle_deg=25.0, t_scale=0.08)
+    it = ds[0]
+    K, R, t = it["K"], it["Rt_1"][:3, :3], it["Rt_1"][:3, 3]
+    h, w = it["depth_0"].shape
+    xx, yy = np.meshgrid(np.arange(w) + 0.5, np.arange(h) + 0.5)
+    rays = np.stack([xx, yy, np.ones_like(xx)], -1) @ np.linalg.inv(K).T
+    X0 = (rays * it["depth_1"][..., None] - t) @ R
+    p0 = X0 @ K.T
+    u, v = p0[..., 0] / p0[..., 2], p0[..., 1] / p0[..., 2]
+    inside = (u > 1) & (u < w - 1) & (v > 1) & (v < h - 1)
+    assert inside.mean() > 0.4
+    d0 = it["depth_0"][v[inside].astype(int), u[inside].astype(int)]
+    assert np.abs(d0 - X0[..., 2][inside]).max() < 0.05
+
+
+def test_scannet_driver_with_synthetic_pairs(tmp_path):
+    """Full `render_scannet_correspondence` driver through the config
+    surface (`dataset=synthetic_scannet`). Default identity pairs are
+    exactly matchable pixel i↔i, so 3D recall@2cm must be ~perfect."""
+    from midvision_probe_tpu.config import compose
+
+    import render_scannet_correspondence as drv
+
+    cfg = compose(
+        "scannet_correspondence",
+        ["backbone=test_tiny", "dataset=synthetic_scannet",
+         "dataset.num_instances=4", "num_corr=100", "batch_pairs=2",
+         "scale_factor=0.25", f"output_dir={tmp_path}"],
+    )
+    out = drv.run(cfg)
+    assert out["err_3d"].shape == (4, 100)
+    rec2cm = (out["err_3d"] < 0.02).mean()
+    assert rec2cm > 0.9, f"identity pairs must recall: {rec2cm}"
+    assert (tmp_path / "scannet_correspondence_final.csv").exists()
