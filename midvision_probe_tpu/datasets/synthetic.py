@@ -315,3 +315,38 @@ class SyntheticScanNetPairs:
             "Rt_0": np.eye(4, dtype=np.float32), "Rt_1": Rt_01,
             "K": K,
         }
+
+
+class SyntheticTwoAFC:
+    """NIGHTS-triplet-shaped items (layout of ``twoafcdataset.py:22-44``):
+    ``img_ref`` plus a near-duplicate and an unrelated distractor, with
+    ``p`` encoding which side is near (0 = left). Any feature space that
+    preserves locality picks the near-duplicate, so 2AFC accuracy ~1 is
+    the correct result even for a random-init backbone."""
+
+    name = "synthetic-2afc"
+
+    def __init__(self, num_instances=16, image_size=(64, 64), seed=3,
+                 split="test", **_):
+        self.num_instances = num_instances
+        self.image_size = tuple(image_size)
+        self.seed = seed
+
+    def __len__(self):
+        return self.num_instances
+
+    def __getitem__(self, index):
+        h, w = self.image_size
+        rng = np.random.RandomState(self.seed * 32452843 + index)
+        ref = rng.rand(h, w, 3).astype(np.float32)
+        near = np.clip(ref + rng.randn(h, w, 3).astype(np.float32) * 0.02,
+                       0, 1)
+        far = rng.rand(h, w, 3).astype(np.float32)
+        left_is_near = index % 2 == 0
+        return {
+            "id": np.int64(index),
+            "p": np.float32(0.0 if left_is_near else 1.0),
+            "img_ref": ref,
+            "img_left": near if left_is_near else far,
+            "img_right": far if left_is_near else near,
+        }

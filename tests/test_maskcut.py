@@ -129,3 +129,17 @@ def test_percepture_driver(tmp_path, rng):
     metrics = drv.run(cfg, dataset=FakeTriplets())
     # near-duplicate features are closer even for a random backbone
     assert metrics["accuracy"] >= 0.8
+
+
+def test_percepture_driver_config_surface(tmp_path):
+    """2AFC driver via `dataset=synthetic_twoafc` (no injection needed)."""
+    from midvision_probe_tpu.config import compose
+
+    import evaluate_model_percepture as drv
+
+    cfg = compose("model_percepture",
+                  ["backbone=test_tiny", "dataset=synthetic_twoafc",
+                   "dataset.num_instances=6", "batch_size=3",
+                   f"output_dir={tmp_path}"])
+    metrics = drv.run(cfg)
+    assert metrics["accuracy"] >= 0.8
