@@ -282,7 +282,15 @@ class ProbeTrainer:
         when nothing was padded; the train step slices predictions and
         targets back to ``n_valid`` before the loss so the cyclic repeats
         never double-weight a sample's gradient (reference partial-batch
-        semantics), and ``predict`` slices its output likewise."""
+        semantics), and ``predict`` slices its output likewise.
+
+        Caveat: per-sample exactness holds for the loss/gradients, but
+        train-mode BATCH statistics (BinaryHead/TaskonomyHead BatchNorm,
+        add_norm TapNorms) are still computed over the padded rows, so a
+        padded step's BN mean/var — and the running stats it saves — see
+        the duplicates. In practice padding only triggers when
+        ``batch_size % mesh-data-size != 0`` (train loaders drop the last
+        partial batch), which no protocol configuration does."""
         n_data = self.mesh.shape["data"]
         sizes = {v.shape[0] for v in batch.values()}
         b = max(sizes)

@@ -31,6 +31,11 @@ def patch_masks(segs, patch_size: int = 16):
     the intended 4-pixel threshold. Latent-bug policy: fix + document.)"""
     b, s, _ = segs.shape
     h = s // patch_size
+    # non-divisible patch sizes (e.g. p=14 at image_size 800): the patch
+    # embed's VALID-stride conv drops the right/bottom remainder pixels,
+    # so the mask grid crops identically to stay aligned with the
+    # (s//p, s//p) feature grid
+    segs = segs[:, : h * patch_size, : h * patch_size]
     pooled = segs.reshape(b, h, patch_size, h, patch_size).mean(axis=(2, 4))
     return pooled > 4.0 / patch_size**2
 

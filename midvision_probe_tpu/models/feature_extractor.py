@@ -169,8 +169,14 @@ class FeatureExtractor:
         )
         gh, gw = res["grid_hw"]
         inter = state["intermediates"]
-        last = f"blocks_{max(taps)}"
-        q, k, v = inter[last]["attn"]["qkv_heads"][0]
+        if "blocks_scan" in inter:
+            # scan mode: sown values are stacked along a leading depth
+            # axis under blocks_scan/block — index the tapped layer
+            q, k, v = (t[max(taps)] for t in
+                       inter["blocks_scan"]["block"]["attn"]["qkv_heads"][0])
+        else:
+            last = f"blocks_{max(taps)}"
+            q, k, v = inter[last]["attn"]["qkv_heads"][0]
 
         def to_map(t):  # (B, H, N, hd) -> (B, h, w, C), patch tokens only
             B, H, N, hd = t.shape

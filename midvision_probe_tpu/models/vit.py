@@ -304,18 +304,40 @@ class Block(nn.Module):
 
 
 class _TapBlock(nn.Module):
-    """Scan body: one Block step that also emits its output as the
-    per-iteration tap (nn.scan requires a ``(carry, y)`` return)."""
+    """Scan body: one Block step that writes its output into a per-TAP
+    slot buffer instead of stacking every layer.
+
+    ``ys``-stacking would materialize a ``(depth, B, N, C)`` tensor
+    (~4.8 GB for ViT-L at the 480x640 batch-64 bench shape on a 16 GB
+    chip) though only ``len(taps)`` layers are ever read. Slot ``k`` of
+    the carried ``(len(taps), B, N, C)`` buffer is written by every
+    layer in ``(taps[k-1], taps[k]]`` — same single (B, N, C) HBM write
+    per iteration as stacking — so after the scan it holds exactly layer
+    ``taps[k]``'s tokens (the last writer wins)."""
 
     cfg: ViTConfig
     grid_hw: tuple
     n_valid: int | None
+    taps: tuple
 
     @nn.compact
-    def __call__(self, x, pos_2d):
+    def __call__(self, carry, pos_2d):
+        x, buf, i = carry
         x = Block(self.cfg, 0, name="block")(x, pos_2d, self.grid_hw,
                                              self.n_valid)
-        return x, x
+        taps_arr = jnp.asarray(self.taps, jnp.int32)
+        slot = jnp.searchsorted(taps_arr, i)
+        if max(self.taps) < self.cfg.depth - 1:
+            # layers past the last tap would clobber the final slot;
+            # redirect their write to the value already there
+            slot = jnp.minimum(slot, len(self.taps) - 1)
+            prev = jax.lax.dynamic_index_in_dim(buf, slot, 0,
+                                                keepdims=False)
+            write = jnp.where(i <= max(self.taps), x, prev)
+        else:
+            write = x
+        buf = jax.lax.dynamic_update_index_in_dim(buf, write, slot, 0)
+        return (x, buf, i + 1), None
 
 
 def stack_block_variables(variables, depth: int):
@@ -456,18 +478,21 @@ class ViT(nn.Module):
         )
         if c.scan_blocks:
             # One compiled block body instead of `depth` unrolled copies;
-            # ys materializes every block's tokens ((depth, B, N, C)) —
-            # cheap next to the trunk's activations at probing batches.
+            # tapped layers land in a (len(taps), B, N, C) slot buffer
+            # (see _TapBlock — full ys stacking would be depth/len(taps)x
+            # the HBM high-water).
+            sorted_taps = tuple(sorted(set(taps)))
             scanned = nn.scan(
                 _TapBlock,
                 variable_axes={"params": 0, "intermediates": 0},
                 split_rngs={"params": True},
                 in_axes=nn.broadcast,
                 length=c.depth,
-            )(c, (gh, gw), n_valid, name="blocks_scan")
-            _, ys = scanned(x, pos_2d)
+            )(c, (gh, gw), n_valid, sorted_taps, name="blocks_scan")
+            buf0 = jnp.zeros((len(sorted_taps),) + x.shape, x.dtype)
+            (_, buf, _), _ = scanned((x, buf0, jnp.int32(0)), pos_2d)
             for i in taps:
-                tap = ys[i][:, :n_tokens]
+                tap = buf[sorted_taps.index(i)][:, :n_tokens]
                 outputs[i] = final_norm(tap) if final_norm is not None else tap
         else:
             for i in range(c.depth):

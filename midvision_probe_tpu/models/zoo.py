@@ -413,16 +413,28 @@ def _random_init(module, size: int, example_kw: dict | None = None) -> dict:
 # --------------------------------------------------------------------------
 # generic builders
 # --------------------------------------------------------------------------
+def _on_axon_tunnel() -> bool:
+    """True when the axon remote-compile tunnel is in the platform
+    selection. The tunnel registers its devices AS the "tpu" backend
+    (``jax.default_backend()`` returns "tpu", device platform "tpu"), so
+    the only reliable markers are the JAX_PLATFORMS env var and the
+    ``jax_platforms`` config the boot shim sets."""
+    if "axon" in (os.environ.get("JAX_PLATFORMS") or "").lower():
+        return True
+    plats = getattr(jax.config, "jax_platforms", None) or ""
+    return "axon" in plats.lower()
+
+
 def _use_scan_blocks(depth: int) -> bool:
     """MVP_SCAN_BLOCKS=1/0 forces the lax.scan block stack on/off —
     ~depth-times smaller HLO, same math (models/vit.py
     ViTConfig.scan_blocks). Unset = auto: L+-deep ViTs overflow the
     axon tunnel's remote-compile request limit unrolled
     (logs/vitl_tunnel_r4.md), so they scan there; everything else keeps
-    the unrolled default (taps stop at max_tap, no stacked-ys cost)."""
+    the unrolled default (taps stop at max_tap)."""
     scan_env = os.environ.get("MVP_SCAN_BLOCKS")
     if scan_env is None:
-        return depth >= 24 and jax.default_backend() == "axon"
+        return depth >= 24 and _on_axon_tunnel()
     return scan_env == "1"
 
 

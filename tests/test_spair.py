@@ -185,3 +185,16 @@ def test_spair_mask_feats_and_heatmaps(spair_root):
         mask_feats=True, return_heatmaps=True, patch_size=p)
     assert heatmaps.shape == (1, it["kps_i"].shape[0], h, h)
     assert np.isfinite(recall)
+
+
+def test_patch_masks_nondivisible_patch():
+    """p=14 at a 64px image: mask grid must crop to the feature grid
+    (s//p) instead of crashing on the reshape (VALID-stride alignment)."""
+    import jax.numpy as jnp
+    from midvision_probe_tpu.evaluators.spair import patch_masks
+
+    seg = np.zeros((1, 64, 64), np.float32)
+    seg[0, :28, :28] = 1.0          # exactly the top-left 2x2 patch block
+    m = np.asarray(patch_masks(jnp.asarray(seg), patch_size=14))
+    assert m.shape == (1, 4, 4)
+    assert m[0, :2, :2].all() and not m[0, 2:, :].any() and not m[0, :, 2:].any()

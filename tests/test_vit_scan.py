@@ -53,17 +53,22 @@ def test_scan_matches_loop(variant):
 
 
 def test_zoo_scan_auto(monkeypatch):
-    """Unset env = auto (deep models scan on axon only); MVP_SCAN_BLOCKS
-    forces either way."""
+    """Unset env = auto (deep models scan on the axon tunnel only);
+    MVP_SCAN_BLOCKS forces either way. The tunnel's backend reports
+    itself as plain "tpu", so detection must key on the platform
+    SELECTION (JAX_PLATFORMS / jax_platforms config), not
+    jax.default_backend()."""
     from midvision_probe_tpu.models import zoo
 
-    def decide(depth, backend):
-        monkeypatch.setattr(jax, "default_backend", lambda: backend)
+    def decide(depth, platforms):
+        # conftest pins JAX_PLATFORMS=cpu; emulate the production selection
+        monkeypatch.setenv("JAX_PLATFORMS", platforms)
         return zoo._use_scan_blocks(depth)
 
     monkeypatch.delenv("MVP_SCAN_BLOCKS", raising=False)
     assert not decide(24, "cpu")
     assert decide(24, "axon")          # ViT-L depth on the tunnel
+    assert decide(24, "axon,cpu")      # the boot shim's actual selection
     assert not decide(12, "axon")      # ViT-B stays unrolled
     monkeypatch.setenv("MVP_SCAN_BLOCKS", "0")
     assert not decide(24, "axon")
@@ -82,3 +87,45 @@ def test_scan_init_shapes():
     w = np.asarray(blk["attn"]["qkv"]["kernel"])
     assert w.shape == (3, 64, 192)
     assert not np.allclose(w[0], w[1])
+
+
+def test_scan_taps_before_last_layer():
+    """max_tap < depth-1: layers after the last tap must NOT clobber the
+    final slot of the tap buffer (the _TapBlock write-guard branch)."""
+    base = ViTConfig(patch_size=8, width=64, depth=4, num_heads=2)
+    scan = dataclasses.replace(base, scan_blocks=True)
+    taps = (0, 2)
+
+    img = jax.random.normal(jax.random.PRNGKey(3), (2, 32, 24, 3))
+    # init with a full-depth tap so all 4 blocks' params exist (the
+    # unrolled loop early-exits at max_tap)
+    variables = jax.jit(ViT(base).init, static_argnums=2)(
+        jax.random.PRNGKey(0), img, (0, 2, 3))
+    out_loop = ViT(base).apply(variables, img, taps=taps)
+    stacked = stack_block_variables(variables, base.depth)
+    out_scan = ViT(scan).apply(stacked, img, taps=taps)
+    for a, b in zip(out_loop["tokens"], out_scan["tokens"]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-5)
+
+
+def test_extract_kqv_scan_mode(monkeypatch):
+    """extract_kqv must work in scan mode (sown intermediates live under
+    blocks_scan/block with a stacked depth axis) and match the unrolled
+    path exactly."""
+    from midvision_probe_tpu.models import zoo
+
+    img = np.asarray(
+        jax.random.normal(jax.random.PRNGKey(5), (1, 32, 32, 3)))
+    monkeypatch.setenv("MVP_SCAN_BLOCKS", "0")
+    unrolled = zoo.build_vit_extractor("test_tiny_vit", output="dense",
+                                       init_size=32)
+    monkeypatch.setenv("MVP_SCAN_BLOCKS", "1")
+    scanned = zoo.build_vit_extractor("test_tiny_vit", output="dense",
+                                      init_size=32)
+    from midvision_probe_tpu.models.vit import stack_block_variables
+    scanned.variables = stack_block_variables(
+        unrolled.variables, unrolled.spec.num_layers)
+    out_u = np.asarray(unrolled.extract_kqv(img, mode="kqv"))
+    out_s = np.asarray(scanned.extract_kqv(img, mode="kqv"))
+    np.testing.assert_allclose(out_u, out_s, rtol=2e-5, atol=2e-5)
