@@ -170,3 +170,27 @@ def test_scannet_driver_with_synthetic_pairs(tmp_path):
     rec2cm = (out["err_3d"] < 0.02).mean()
     assert rec2cm > 0.9, f"identity pairs must recall: {rec2cm}"
     assert (tmp_path / "scannet_correspondence_final.csv").exists()
+
+
+def test_render_navi_driver_with_synthetic_pairs(tmp_path):
+    """render_navi_correspondence e2e: pair renders + per-pair error JSON
+    on the synthetic consistent pairs (near-zero error expected)."""
+    import glob
+    import json
+
+    from midvision_probe_tpu.config import compose
+
+    import render_navi_correspondence as drv
+
+    cfg = compose(
+        "navi_correspondence",
+        ["backbone=test_tiny", "dataset=synthetic_navi",
+         "dataset.num_instances=2", "num_corr=50",
+         "scale_factor=0.25", f"output_dir={tmp_path}"],
+    )
+    out_dir = drv.run(cfg, max_pairs=2)
+    pngs = glob.glob(f"{out_dir}/pair_*/matches.png")
+    jsons = glob.glob(f"{out_dir}/pair_*/errors.json")
+    assert len(pngs) == 2 and len(jsons) == 2
+    errs = [json.load(open(p))["err3d_mean"] for p in jsons]
+    assert all(e < 0.05 for e in errs), errs
