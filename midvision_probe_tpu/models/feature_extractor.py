@@ -163,6 +163,16 @@ class FeatureExtractor:
         taps = getattr(self._apply_fn, "_taps", None)
         if module is None:
             raise NotImplementedError("extractor lacks module metadata")
+        fixed = getattr(self._apply_fn, "_fixed_input", None)
+        if fixed is not None and images.shape[1:3] != (fixed, fixed):
+            # mirror the forward path: rel-pos-bias backbones only run at
+            # their fixed grid (make_vit_feature_fn; beit_v2.py:255-257)
+            from midvision_probe_tpu.ops.image import resize as _resize
+
+            images = _resize(
+                images, (fixed, fixed), align_corners=False,
+                mode=getattr(self._apply_fn, "_fixed_input_mode",
+                             "bilinear"))
         res, state = module.apply(
             self.variables, images, taps=tuple(taps),
             mutable=["intermediates"],
@@ -227,6 +237,8 @@ def make_vit_feature_fn(
 
     apply_fn._module = module  # metadata for extract_kqv
     apply_fn._taps = tuple(taps)
+    apply_fn._fixed_input = fixed_input
+    apply_fn._fixed_input_mode = fixed_input_mode
     return apply_fn
 
 

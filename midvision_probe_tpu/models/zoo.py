@@ -417,12 +417,14 @@ def _on_axon_tunnel() -> bool:
     """True when the axon remote-compile tunnel is in the platform
     selection. The tunnel registers its devices AS the "tpu" backend
     (``jax.default_backend()`` returns "tpu", device platform "tpu"), so
-    the only reliable markers are the JAX_PLATFORMS env var and the
-    ``jax_platforms`` config the boot shim sets."""
-    if "axon" in (os.environ.get("JAX_PLATFORMS") or "").lower():
-        return True
-    plats = getattr(jax.config, "jax_platforms", None) or ""
-    return "axon" in plats.lower()
+    the only reliable markers are the ``jax_platforms`` config (the boot
+    shim sets it; AUTHORITATIVE — a script that programmatically switches
+    to CPU updates the config without scrubbing the env var) and, when
+    the config is unset, the JAX_PLATFORMS env var."""
+    plats = getattr(jax.config, "jax_platforms", None)
+    if plats:
+        return "axon" in plats.lower()
+    return "axon" in (os.environ.get("JAX_PLATFORMS") or "").lower()
 
 
 def _use_scan_blocks(depth: int) -> bool:

@@ -55,25 +55,36 @@ def test_scan_matches_loop(variant):
 def test_zoo_scan_auto(monkeypatch):
     """Unset env = auto (deep models scan on the axon tunnel only);
     MVP_SCAN_BLOCKS forces either way. The tunnel's backend reports
-    itself as plain "tpu", so detection must key on the platform
-    SELECTION (JAX_PLATFORMS / jax_platforms config), not
-    jax.default_backend()."""
+    itself as plain "tpu", so detection keys on the platform SELECTION —
+    the jax_platforms CONFIG first (authoritative: a script that
+    programmatically moves to CPU updates it without scrubbing the env
+    var), then the JAX_PLATFORMS env var."""
     from midvision_probe_tpu.models import zoo
 
     def decide(depth, platforms):
-        # conftest pins JAX_PLATFORMS=cpu; emulate the production selection
-        monkeypatch.setenv("JAX_PLATFORMS", platforms)
-        return zoo._use_scan_blocks(depth)
+        # conftest pins config to "cpu"; emulate the production selection
+        jax.config.update("jax_platforms", platforms)
+        try:
+            return zoo._use_scan_blocks(depth)
+        finally:
+            jax.config.update("jax_platforms", "cpu")
 
     monkeypatch.delenv("MVP_SCAN_BLOCKS", raising=False)
     assert not decide(24, "cpu")
-    assert decide(24, "axon")          # ViT-L depth on the tunnel
     assert decide(24, "axon,cpu")      # the boot shim's actual selection
-    assert not decide(12, "axon")      # ViT-B stays unrolled
+    assert not decide(12, "axon,cpu")  # ViT-B stays unrolled
+    # config wins over a stale env var (programmatic switch to CPU)
+    monkeypatch.setenv("JAX_PLATFORMS", "axon")
+    assert not decide(24, "cpu")
+    # env is the fallback when the config is unset
+    monkeypatch.setattr(type(jax.config), "jax_platforms", None,
+                        raising=False)
+    assert zoo._use_scan_blocks(24)
     monkeypatch.setenv("MVP_SCAN_BLOCKS", "0")
-    assert not decide(24, "axon")
+    assert not zoo._use_scan_blocks(24)
     monkeypatch.setenv("MVP_SCAN_BLOCKS", "1")
-    assert decide(12, "cpu")
+    monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+    assert zoo._use_scan_blocks(12)
 
 
 def test_scan_init_shapes():

@@ -111,3 +111,18 @@ def test_beit_fixed_input_resize():
     maps2, _ = bb._apply_fn(bb.variables, manual)
     np.testing.assert_allclose(np.asarray(maps[-1]), np.asarray(maps2[-1]),
                                atol=1e-6)
+
+
+def test_extract_kqv_fixed_input():
+    """extract_kqv must mirror the forward path's fixed-input resize —
+    rel-pos-bias backbones (BEiT family) only run at their fixed grid."""
+    import numpy as np
+
+    from midvision_probe_tpu.models import zoo
+
+    bb = zoo.build_vit_extractor("beitv2_vitb16", output="dense",
+                                 return_multilayer=True, init_size=224)
+    rng = np.random.RandomState(1)
+    images = jnp.asarray(rng.rand(1, 256, 320, 3).astype(np.float32))
+    kqv = bb.extract_kqv(images, mode="k")
+    assert kqv.shape == (1, 14, 14, 768)
