@@ -140,3 +140,30 @@ def test_extract_kqv_scan_mode(monkeypatch):
     out_u = np.asarray(unrolled.extract_kqv(img, mode="kqv"))
     out_s = np.asarray(scanned.extract_kqv(img, mode="kqv"))
     np.testing.assert_allclose(out_u, out_s, rtol=2e-5, atol=2e-5)
+
+
+def test_scan_mode_shards_over_mesh():
+    """Scan mode must compose with SPMD: batch sharded over 'data', stacked
+    (depth-leading) params replicated, on the virtual 8-device mesh."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    cfg = ViTConfig(patch_size=8, width=64, depth=24, num_heads=2,
+                    scan_blocks=True)
+    img = jax.random.normal(jax.random.PRNGKey(7), (8, 32, 32, 3))
+    variables = ViT(cfg).init(jax.random.PRNGKey(0), img, taps=(5, 23))
+
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(8), ("data",))
+    batch_sh = NamedSharding(mesh, P("data"))
+    repl = NamedSharding(mesh, P())
+    v_sh = jax.device_put(variables, repl)
+    img_sh = jax.device_put(img, batch_sh)
+
+    @jax.jit
+    def fwd(v, x):
+        return ViT(cfg).apply(v, x, taps=(5, 23))["tokens"][-1]
+
+    out = fwd(v_sh, img_sh)
+    ref = fwd(variables, img)
+    assert out.sharding.spec == P("data")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
