@@ -38,7 +38,7 @@ def run(cfg):
     loader = build_loader(cfg.dataset, "test", cfg.get("batch_pairs", 4), 1,
                           pair_dataset=True)
 
-    err_3d, err_2d, rel_ang = [], [], []
+    err_3d, err_2d, valid, rel_ang = [], [], [], []
     use_pallas = None  # auto: pallas on TPU
     for batch in loader:
         f0 = feature_fn(jnp.asarray(batch["image_0"]))
@@ -49,35 +49,42 @@ def run(cfg):
         xyz0 = np.stack([resize_nearest(x, hw) for x in batch["xyz_grid_0"]])
         xyz1 = np.stack([resize_nearest(x, hw) for x in batch["xyz_grid_1"]])
 
-        e3, e2 = navi_batch_errors(
+        e3, e2, ok = navi_batch_errors(
             f0, f1, jnp.asarray(xyz0), jnp.asarray(xyz1),
             jnp.asarray(batch["Rt_01"]), jnp.asarray(batch["intrinsics_1"]),
             num_corr=cfg.num_corr, scale_factor=sf, use_pallas=use_pallas,
         )
         err_3d.append(np.asarray(e3))
         err_2d.append(np.asarray(e2))
+        valid.append(np.asarray(ok))
         rel_ang.append(np.degrees(np.asarray(
             so3_rotation_angle(jnp.asarray(batch["Rt_01"][:, :3, :3]))
         )))
 
     err_3d = np.concatenate(err_3d)
     err_2d = np.concatenate(err_2d)
+    valid = np.concatenate(valid)
     rel_ang = np.concatenate(rel_ang)
+    # recalls over REAL matches only: pairs with < num_corr valid points
+    # pad with garbage rows that the reference never emits (see
+    # navi_batch_errors docstring)
+    n_valid = max(int(valid.sum()), 1)
+    nv_pair = np.maximum(valid.sum(axis=1), 1)
 
     results = []
     row = {}
     for th in [0.01, 0.02, 0.05]:
-        rec = 100 * float((err_3d < th).mean())
+        rec = 100 * float(((err_3d < th) & valid).sum() / n_valid)
         logger.info("Recall at %.2f m: %.2f", th, rec)
         results.append(f"{rec:5.02f}")
         row[f"3D Recall ({th:.2f}m)"] = f"{rec:5.02f}"
     for th in [5, 25, 50]:
-        rec = 100 * float((err_2d < th).mean())
+        rec = 100 * float(((err_2d < th) & valid).sum() / n_valid)
         logger.info("Recall at %3dpx: %.2f", th, rec)
         results.append(f"{rec:5.02f}")
         row[f"2D Recall ({th}px)"] = f"{rec:5.02f}"
 
-    rec_2cm = (err_3d < 0.02).mean(axis=1)
+    rec_2cm = ((err_3d < 0.02) & valid).sum(axis=1) / nv_pair
     bins = compute_binned_performance(rec_2cm, rel_ang, [0, 30, 60, 90, 120])
     for i, acc in enumerate(bins):
         row[f"Bin Rec {i * 30}-{(i + 1) * 30}°"] = f"{acc * 100:5.02f}"

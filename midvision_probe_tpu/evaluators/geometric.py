@@ -32,8 +32,13 @@ def navi_batch_errors(
         feats_0/1: (B, h, w, C); xyz_0/1: (B, H, W, 3); Rt_01: (B, 4, 4)
         camera-0 → camera-1 transforms; intrinsics: (B, 3, 3).
 
-    Returns (err_3d (B, N), err_2d (B, N)) in meters / *xyz-grid* pixels
-    (the driver rescales uv errors by 1/scale_factor like the reference).
+    Returns (err_3d (B, N), err_2d (B, N), valid (B, N)) in meters /
+    *xyz-grid* pixels (the driver rescales uv errors by 1/scale_factor like
+    the reference). ``valid`` marks real matches: when a pair has fewer
+    than ``num_corr`` valid query points, the static-shape selection pads
+    with -inf-weight garbage rows — the reference instead returns only the
+    real matches (``correspondence.py:69-74`` boolean-filters first), so
+    recalls must be computed over ``valid`` rows only.
     """
 
     def one(f0, f1, x0, x1, Rt, K):
@@ -45,7 +50,7 @@ def navi_batch_errors(
         uv1 = project_3dto2d(c_xyz1, K)
         uv0in1 = project_3dto2d(c_xyz0in1, K)
         err2d = jnp.linalg.norm(uv0in1 - uv1, axis=-1) / scale_factor
-        return err3d, err2d
+        return err3d, err2d, jnp.isfinite(w)
 
     return jax.vmap(one)(feats_0, feats_1, xyz_0, xyz_1, Rt_01, intrinsics)
 
@@ -60,8 +65,9 @@ def scannet_batch_errors(
 
     depth_0/1: (B, H, W); K: (B, 3, 3); Rt_01: (B, 4, 4).
     Returns (err_3d (B, N), err_2d (B, N), uv_0in0 (B, N, 2), uv_1in1
-    (B, N, 2)) — the uv points feed the qualitative pair renders
-    (``render_scannet_correspondence.py:224-240``)."""
+    (B, N, 2), valid (B, N)) — the uv points feed the qualitative pair
+    renders (``render_scannet_correspondence.py:224-240``); ``valid``
+    marks real matches (see ``navi_batch_errors``)."""
 
     def one(f0, f1, d0, d1, Ki, Rt):
         c_xyz0, c_xyz1, w = estimate_correspondence_depth(
@@ -73,6 +79,6 @@ def scannet_batch_errors(
         uv1 = project_3dto2d(c_xyz1, Ki)
         uv0in1 = project_3dto2d(c_xyz0in1, Ki)
         err2d = jnp.linalg.norm(uv0in1 - uv1, axis=-1)
-        return err3d, err2d, uv0in0, uv1
+        return err3d, err2d, uv0in0, uv1, jnp.isfinite(w)
 
     return jax.vmap(one)(feats_0, feats_1, depth_0, depth_1, K, Rt_01)

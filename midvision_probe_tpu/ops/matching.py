@@ -126,13 +126,17 @@ def _knn2_pallas(
     np_, mp, dp = _round_up(n, tile_n), _round_up(m, tile_m), _round_up(d, 128)
 
     q = jnp.zeros((np_, dp), jnp.float32).at[:n, :d].set(query.astype(jnp.float32))
-    # Feature-dim padding is zeros (doesn't change dot products or norms);
-    # padded target ROWS are a huge constant so they can never win the top-2.
+    # Feature-dim padding is zeros (doesn't change dot products or norms).
+    # Padded target ROWS stay zero-featured but get _BIG added to their
+    # NORM term, so d = qn + tn - 2*dot excludes them for ANY query — a
+    # finite coordinate sentinel (an earlier revision used all-1e3 rows)
+    # can be closer than real targets for unnormalized large-magnitude
+    # queries and leak out-of-range indices.
     t = jnp.zeros((mp, dp), jnp.float32).at[:m, :d].set(target.astype(jnp.float32))
-    if mp > m:
-        t = t.at[m:, :].set(1e3)
     qn = jnp.sum(q * q, axis=1, keepdims=True)
     tn = jnp.sum(t * t, axis=1, keepdims=True)
+    if mp > m:
+        tn = tn.at[m:].add(_BIG)
 
     grid = (np_ // tile_n, mp // tile_m)
     dist, idx = pl.pallas_call(

@@ -19,6 +19,10 @@ import jax.numpy as jnp
 from midvision_probe_tpu.ops.image import grid_sample, resize
 from midvision_probe_tpu.ops.matching import calculate_ratio_test, knn2
 
+# displacement for masked-out TARGET points. Precondition: features are
+# unit-normalized before use (the cosine path normalizes; a euclidean
+# caller with feature magnitudes approaching ~1e3 could match invalid
+# points — no in-repo caller does, but scale _FAR if you add one).
 _FAR = 1.0e3
 
 
@@ -105,9 +109,9 @@ def masked_correspondences_ratio_test(
         dists = 0.5 * dists**2
     weights = calculate_ratio_test(dists) if ratio_test else dists[..., 0]
     weights = jnp.where(valid_0, weights, -jnp.inf)
-    k = min(num_corres, weights.shape[-1])
-    w, idx0 = jax.lax.top_k(weights, k)
-    idx1 = jnp.take(idx[..., 0], idx0, axis=-1)
+    from midvision_probe_tpu.ops.matching import topk_matches
+
+    idx0, idx1, w = topk_matches(weights, idx[..., 0], num_corres)
     return idx0, idx1, w
 
 

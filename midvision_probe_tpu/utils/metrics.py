@@ -241,15 +241,10 @@ def evaluate_surface_norm(
 
     by_level = {}
     for i, m in enumerate(_level_masks(valid, num_levels)):
-        err_m = err_deg * m
-        num = jnp.clip(m.sum(axis=(1, 2)), 1, None)
-        lvl = {}
-        for j, t in enumerate(thresh):
-            lvl[f"d{j + 1}"] = ((err_m < t).astype(jnp.float32) * m).sum(
-                axis=(1, 2)
-            ) / num
-        lvl["rmse"] = jnp.sqrt((err_m**2).sum(axis=(1, 2)) / num)
-        by_level[f"level_{i + 1}"] = lvl
+        # binary m: err_deg*m keeps masked-out pixels at 0, which is what
+        # _angular_threshold_metrics expects (same formula, shared code)
+        by_level[f"level_{i + 1}"] = _angular_threshold_metrics(
+            err_deg * m, m, thresh)
 
     if not is_navi and segmentation_map is not None:
         stuff_mask = jnp.isin(segmentation_map, jnp.asarray(STUFF)).astype(
@@ -370,7 +365,12 @@ def evaluate_reshading_absrel_and_delta(pred, target, mask,
 # the duplicated copies in both objectness drivers
 # --------------------------------------------------------------------------
 def mask_iou(mask1, mask2):
-    """``metric.py:5-9`` (0.5-binarized IoU, image-averaged)."""
+    """``metric.py:5-9`` (0.5-binarized IoU, image-averaged).
+
+    Deliberate delta (latent-bug policy, README "Deliberate non-ports"):
+    an image whose prediction AND target binarize to empty has union 0 —
+    the reference computes 0/0 = NaN and poisons the batch mean; here the
+    clamp scores it 0 (no overlap found) and keeps the average finite."""
     m1 = mask1 > 0.5
     m2 = mask2 > 0.5
     inter = jnp.sum(m1 & m2, axis=(-1, -2))

@@ -75,12 +75,13 @@ def run(cfg, max_pairs: int = 8):
             f0[0], f1[0], jnp.asarray(xyz0), jnp.asarray(xyz1),
             num_corr=cfg.num_corr,
         )
+        sel = np.isfinite(np.asarray(w))  # drop static-shape pad rows
         Rt = jnp.asarray(batch["Rt_01"][0, :3, :4])
         err3d = np.asarray(jnp.linalg.norm(
             transform_points_Rt(c_xyz0, Rt) - c_xyz1, axis=-1
-        ))
-        uv0 = np.asarray(uv0) / sf
-        uv1 = np.asarray(uv1) / sf
+        ))[sel]
+        uv0 = np.asarray(uv0)[sel] / sf
+        uv1 = np.asarray(uv1)[sel] / sf
 
         pair_dir = os.path.join(out_dir, f"pair_{i}")
         os.makedirs(pair_dir, exist_ok=True)

@@ -52,7 +52,7 @@ def run(cfg, dataset=None):
         f"scannet_correspondence_{datetime.now().strftime('%Y%m%d_%H%M%S')}",
         str(model.checkpoint_name),
     ) if render_every > 0 else None
-    err_3d, err_2d, rel_ang = [], [], []
+    err_3d, err_2d, valid, rel_ang = [], [], [], []
     seen = 0
     for batch in loader:
         f0 = feature_fn(jnp.asarray(batch["rgb_0"]))
@@ -67,17 +67,18 @@ def run(cfg, dataset=None):
         K[:, :2, :] *= sf
 
         Rt_01 = np.asarray(batch["Rt_1"], np.float32)
-        e3, e2, uv0, uv1 = scannet_batch_errors(
+        e3, e2, uv0, uv1, ok = scannet_batch_errors(
             f0, f1, jnp.asarray(d0), jnp.asarray(d1), jnp.asarray(K),
             jnp.asarray(Rt_01), num_corr=cfg.num_corr, use_pallas=None,
         )
-        e3, e2 = np.asarray(e3), np.asarray(e2)
+        e3, e2, ok = np.asarray(e3), np.asarray(e2), np.asarray(ok)
         ang = np.degrees(np.asarray(
             so3_rotation_angle(jnp.asarray(Rt_01[:, :3, :3]))
         ))
         err_3d.append(e3)
         # reference reports 2D error in downscaled-pixel units for recall
         err_2d.append(e2)
+        valid.append(ok)
         rel_ang.append(ang)
 
         # qualitative pair renders, every `render_every`-th instance
@@ -93,30 +94,37 @@ def run(cfg, dataset=None):
                 if idx % render_every:
                     continue
                 inst_dir = os.path.join(render_dir, f"instance_{idx}")
+                sel = ok[b]  # render only REAL matches
                 visualize_and_save_correspondences(
                     np.asarray(batch["rgb_0"][b]),
                     np.asarray(batch["rgb_1"][b]),
-                    np.asarray(uv0[b]) / sf, np.asarray(uv1[b]) / sf,
-                    e2[b], inst_dir,
+                    np.asarray(uv0[b])[sel] / sf,
+                    np.asarray(uv1[b])[sel] / sf,
+                    e2[b][sel], inst_dir,
                 )
-                save_correspondence_json(e2[b], e3[b], ang[b], inst_dir)
+                save_correspondence_json(e2[b][sel], e3[b][sel], ang[b],
+                                         inst_dir)
         seen += e3.shape[0]
 
     err_3d = np.concatenate(err_3d)
     err_2d = np.concatenate(err_2d)
+    valid = np.concatenate(valid)
     rel_ang = np.concatenate(rel_ang)
+    # recalls over REAL matches only (see navi_batch_errors docstring)
+    n_valid = max(int(valid.sum()), 1)
+    nv_pair = np.maximum(valid.sum(axis=1), 1)
 
     row = {}
     for th in [0.01, 0.02, 0.05, 0.1, 0.2, 0.3, 0.4, 0.5]:
-        rec = 100 * float((err_3d < th).mean())
+        rec = 100 * float(((err_3d < th) & valid).sum() / n_valid)
         logger.info("Recall at %.2f m: %.2f", th, rec)
         row[f"3D Recall ({th:.2f}m)"] = f"{rec:5.02f}"
     for th in [1, 2, 5, 15, 25, 35, 50]:
-        rec = 100 * float((err_2d < th).mean())
+        rec = 100 * float(((err_2d < th) & valid).sum() / n_valid)
         logger.info("Recall at %2d px: %.2f", th, rec)
         row[f"2D Recall ({th}px)"] = f"{rec:5.02f}"
 
-    rec_2cm = (err_3d < 0.02).mean(axis=1)
+    rec_2cm = ((err_3d < 0.02) & valid).sum(axis=1) / nv_pair
     bins = compute_binned_performance(rec_2cm, rel_ang, [0, 30, 60, 90, 120])
     for i, acc in enumerate(bins):
         row[f"Bin Rec {i * 30}-{(i + 1) * 30}°"] = f"{acc * 100:5.02f}"

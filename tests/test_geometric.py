@@ -19,7 +19,7 @@ def test_navi_identity_pair_zero_error(rng):
     K = np.broadcast_to(np.eye(3, dtype=np.float32) * 20, (B, 3, 3)).copy()
     K[:, 2, 2] = 1
 
-    e3, e2 = navi_batch_errors(
+    e3, e2, ok = navi_batch_errors(
         jnp.asarray(feats), jnp.asarray(feats), jnp.asarray(xyz),
         jnp.asarray(xyz), jnp.asarray(Rt), jnp.asarray(K),
         num_corr=50, use_pallas=False,
@@ -45,7 +45,7 @@ def test_navi_rigid_transform_consistency(rng):
     K = np.eye(3, dtype=np.float32) * 15
     K[2, 2] = 1
 
-    e3, _ = navi_batch_errors(
+    e3, _, ok = navi_batch_errors(
         jnp.asarray(feats), jnp.asarray(feats), jnp.asarray(xyz0),
         jnp.asarray(xyz1), jnp.asarray(Rt[None]), jnp.asarray(K[None]),
         num_corr=30, use_pallas=False,
@@ -60,7 +60,7 @@ def test_scannet_identity_pair(rng):
     K = np.array([[25.0, 0, 10], [0, 25.0, 8], [0, 0, 1]], np.float32)[None]
     Rt = np.eye(4, dtype=np.float32)[None]
 
-    e3, e2, uv0, uv1 = scannet_batch_errors(
+    e3, e2, uv0, uv1, ok = scannet_batch_errors(
         jnp.asarray(feats), jnp.asarray(feats), jnp.asarray(depth),
         jnp.asarray(depth), jnp.asarray(K), jnp.asarray(Rt),
         num_corr=40, use_pallas=False,
@@ -194,3 +194,25 @@ def test_render_navi_driver_with_synthetic_pairs(tmp_path):
     assert len(pngs) == 2 and len(jsons) == 2
     errs = [json.load(open(p))["err3d_mean"] for p in jsons]
     assert all(e < 0.05 for e in errs), errs
+
+
+def test_navi_errors_mask_garbage_when_few_valid(rng):
+    """Pairs with fewer valid points than num_corr: the static-shape pad
+    rows must be flagged invalid (the reference returns only real
+    matches), so identity-pair recall over `valid` is still perfect."""
+    B, H, W, C = 1, 8, 8, 12
+    feats = rng.randn(B, H, W, C).astype(np.float32)
+    xyz = rng.rand(B, H, W, 3).astype(np.float32) + 0.5
+    xyz[:, 4:, :, 2] = 0.0            # only 32 valid points
+    Rt = np.broadcast_to(np.eye(4, dtype=np.float32), (B, 4, 4)).copy()
+    K = np.broadcast_to(np.eye(3, dtype=np.float32) * 20, (B, 3, 3)).copy()
+    K[:, 2, 2] = 1
+
+    e3, e2, ok = navi_batch_errors(
+        jnp.asarray(feats), jnp.asarray(feats), jnp.asarray(xyz),
+        jnp.asarray(xyz), jnp.asarray(Rt), jnp.asarray(K),
+        num_corr=50, use_pallas=False,
+    )
+    ok = np.asarray(ok)
+    assert ok.sum() == 32              # exactly the real matches
+    assert (np.asarray(e3)[ok] < 1e-4).all()

@@ -195,3 +195,24 @@ def test_gelu_dtype_gating():
     # tanh-form in bf16 must round-trip to the exact value within one
     # bf16 ulp of the magnitude (~8e-3 relative)
     np.testing.assert_allclose(got16, ref, atol=0.04, rtol=0.02)
+
+
+def test_knn2_pallas_pad_rows_never_win():
+    """Regression: padded target rows (target count not a tile multiple)
+    must never appear in the top-2, even for unnormalized large-magnitude
+    queries that sit near a finite coordinate sentinel (the old pad
+    encoding). Pallas interpret mode vs the XLA fallback."""
+    import numpy as np
+
+    from midvision_probe_tpu.ops.matching import knn2
+
+    rng = np.random.RandomState(0)
+    q = jnp.full((4, 128), 990.0, jnp.float32)
+    t = jnp.asarray(rng.randn(100, 128).astype(np.float32))
+    d_ref, i_ref = knn2(q, t, metric="euclidean", use_pallas=False)
+    d_pl, i_pl = knn2(q, t, metric="euclidean", use_pallas=True,
+                      interpret=True, tile_m=64)
+    assert (np.asarray(i_pl) < 100).all(), np.asarray(i_pl)
+    np.testing.assert_array_equal(np.asarray(i_ref), np.asarray(i_pl))
+    np.testing.assert_allclose(np.asarray(d_ref), np.asarray(d_pl),
+                               rtol=1e-5, atol=1e-3)
