@@ -28,6 +28,7 @@ from __future__ import annotations
 from typing import Any, Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from midvision_probe_tpu.ops.image import resize
@@ -324,7 +325,9 @@ class DepthHead(nn.Module):
             bins = jnp.linspace(self.min_depth, self.max_depth, 256)
             prob = nn.relu(x) + 0.1
             prob = prob / prob.sum(axis=-1, keepdims=True)
-            depth = jnp.einsum("bhwk,k->bhw", prob, bins)[..., None]
+            depth = jnp.einsum("bhwk,k->bhw", prob, bins,
+                               precision=jax.lax.Precision.HIGHEST,
+                               )[..., None]  # parity-sensitive reduce
         elif self.prediction_type == "sigdepth":
             depth = nn.sigmoid(x)
             depth = self.min_depth + depth * (self.max_depth - self.min_depth)
@@ -386,7 +389,11 @@ class _SigmoidHead(nn.Module):
 
 
 class BinaryHead(_SigmoidHead):
-    """``probes.py:7-44`` (objectness probe)."""
+    """``probes.py:7-44`` (objectness probe). Default ``output_dim=2``
+    matches the reference ctor (``probes.py:15``); the objectness config
+    pins 1 on both sides (``configs/probe/binaryhead.yaml``)."""
+
+    output_dim: int = 2
 
 
 class TaskonomyHead(_SigmoidHead):

@@ -42,7 +42,11 @@ def sig_loss(depth_pr, depth_gt, sigma=0.85, eps=0.001):
     """AdaBins-style SigLoss over all valid pixels of the batch
     (``losses.py:54-74``)."""
     valid = (depth_gt > 0).astype(jnp.float32)
-    g = (jnp.log(depth_pr + eps) - jnp.log(depth_gt + eps)) * valid
+    # log over VALID pixels only — the reference indexes depth_gt[valid]
+    # before the log (losses.py:60-63); computing log(gt+eps) on an
+    # invalid marker like -1 would be NaN, and NaN*0 is NaN
+    gt_safe = jnp.where(depth_gt > 0, depth_gt, 1.0)
+    g = (jnp.log(depth_pr + eps) - jnp.log(gt_safe + eps)) * valid
     n = jnp.clip(valid.sum(), 1, None)
     mean_g2 = jnp.sum(g**2) / n
     mean_g = jnp.sum(g) / n
@@ -63,7 +67,8 @@ def gradient_loss(depth_pr, depth_gt, eps=0.001):
         gt = depth_gt[:, ::s, ::s]
         valid = (gt > 0).astype(jnp.float32)
         n = jnp.clip(valid.sum(), 1, None)
-        diff = (jnp.log(pr + eps) - jnp.log(gt + eps)) * valid
+        gt_safe = jnp.where(gt > 0, gt, 1.0)  # see sig_loss
+        diff = (jnp.log(pr + eps) - jnp.log(gt_safe + eps)) * valid
 
         v_grad = jnp.abs(diff[:, :-2, :] - diff[:, 2:, :])
         v_valid = valid[:, :-2, :] * valid[:, 2:, :]
