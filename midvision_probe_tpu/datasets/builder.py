@@ -29,6 +29,14 @@ class Loader:
         self.shuffle = shuffle
         self.drop_last = drop_last
         self.seed = seed
+        if num_shards is None:
+            num_shards = 1
+        if shard_index is None:
+            if num_shards > 1:
+                # idx[None::k] silently resolves to shard 0 on EVERY host —
+                # all processes would train on identical data with no error
+                raise ValueError("shard_index is required when num_shards>1")
+            shard_index = 0
         self.num_shards = num_shards
         self.shard_index = shard_index
         self.prefetch = prefetch
@@ -52,7 +60,14 @@ class Loader:
         if self.shuffle:
             rng = np.random.RandomState(self.seed + self.epoch)
             rng.shuffle(idx)
-        # per-host shard (DistributedSampler equivalent)
+        # per-host shard. Like the reference's DistributedSampler
+        # (total_size = ceil(n/k)*k with wrapped repeats), shards are
+        # padded to EQUAL length — unequal shards make hosts disagree on
+        # batches-per-epoch and hang the gradient all-reduce on the host
+        # that runs an extra step.
+        if self.num_shards > 1 and n % self.num_shards:
+            idx = np.resize(idx, ((n // self.num_shards) + 1)
+                            * self.num_shards)
         return idx[self.shard_index:: self.num_shards]
 
     def __len__(self) -> int:
@@ -69,6 +84,21 @@ class Loader:
             rng = np.random.RandomState(self.seed + 7919 * (self.epoch + 1))
             rng.shuffle(order)
 
+        stop = threading.Event()
+
+        def _put(q: queue.Queue, item) -> bool:
+            # bounded put that gives up when the consumer abandoned the
+            # iterator (otherwise the producer blocks on the full queue
+            # forever, pinning prefetched batches and reading the dataset
+            # concurrently with the next epoch's own producer)
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def produce(q: queue.Queue):
             try:
                 for b in order:
@@ -77,21 +107,25 @@ class Loader:
                     batch = _stack(items)
                     if self.shuffle_batch_order:
                         batch["_batch_id"] = int(b)
-                    q.put(batch)
-                q.put(None)
+                    if not _put(q, batch):
+                        return
+                _put(q, None)
             except BaseException as e:  # propagate into consumer
-                q.put(e)
+                _put(q, e)
 
         q: queue.Queue = queue.Queue(maxsize=max(self.prefetch, 1))
         t = threading.Thread(target=produce, args=(q,), daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is None:
-                return
-            if isinstance(item, BaseException):
-                raise item
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    return
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            stop.set()
 
 
 def _stack(items: list[dict]) -> dict:

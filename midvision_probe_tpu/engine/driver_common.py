@@ -29,6 +29,12 @@ def build_loader(*args, **kwargs):
         shard = multihost.process_shard_args()
         kwargs["num_shards"] = shard["num_shards"]
         kwargs["shard_index"] = shard["shard_index"]
+    # an explicit num_shards without a shard_index would reach the Loader
+    # as shard_index=None (the Loader raises; fail here with the clearer
+    # caller-facing message)
+    if kwargs["num_shards"] is not None and kwargs["num_shards"] > 1 \
+            and kwargs["shard_index"] is None:
+        raise ValueError("pass shard_index together with num_shards")
     return _build_loader(*args, **kwargs)
 
 
@@ -128,7 +134,8 @@ def fit(cfg: Config, trainer: ProbeTrainer, train_loader, logger, wandb,
     if resume:
         restored = restore_checkpoint(ckpt_dir, trainer.state)
         if restored is not None:
-            trainer.state, start_ep = restored
+            state, start_ep = restored
+            trainer.set_state(state)
             logger.info("resumed from epoch %d", start_ep)
 
     n_epochs = int(cfg.optimizer.n_epochs)

@@ -32,7 +32,10 @@ import optax
 from midvision_probe_tpu.models.feature_extractor import FeatureExtractor
 from midvision_probe_tpu.models.probes import TapNorms
 from midvision_probe_tpu.parallel.mesh import make_mesh, replicate, shard_batch
-from midvision_probe_tpu.utils.optim import cosine_decay_linear_warmup
+from midvision_probe_tpu.utils.optim import (
+    cosine_decay_linear_warmup,
+    make_adamw,
+)
 
 
 class TrainState(NamedTuple):
@@ -54,7 +57,8 @@ class ProbeTrainer:
         probe_lr / n_steps / warmup_steps: reference optimizer recipe
             (AdamW + cosine-with-warmup, ``train_depth.py:624-641``).
         add_norm: train per-tap BatchNorms (reference ``add_norm`` flag).
-        probe_uses_batch_stats: BinaryHead/TaskonomyHead have a BatchNorm2d.
+        (BatchNorm probes — BinaryHead/TaskonomyHead — are auto-detected
+        from the presence of ``batch_stats`` at init.)
     """
 
     backbone: FeatureExtractor
@@ -91,7 +95,10 @@ class ProbeTrainer:
         schedule = cosine_decay_linear_warmup(
             self.probe_lr, self.n_steps, self.warmup_steps
         )
-        self.tx = optax.adamw(schedule)
+        # make_adamw pins torch.optim.AdamW's defaults (weight_decay 0.01
+        # — raw optax.adamw would silently train with 1e-4, a 100x
+        # regularization gap vs the reference trainers)
+        self.tx = make_adamw(schedule)
         self._train_step = None
         self._eval_step = None
         self.state: TrainState | None = None
@@ -117,6 +124,14 @@ class ProbeTrainer:
         opt_state = self.tx.init(params)
         state = TrainState(params, batch_stats, opt_state, jnp.zeros((), jnp.int32))
         self.state = replicate(state, self.mesh)
+        return self.state
+
+    def set_state(self, state: TrainState) -> TrainState:
+        """Install a (restored) state, mesh-replicated. Checkpoint restore
+        returns host-numpy leaves; feeding them to the jitted step raw
+        makes donate_argnums a no-op and retraces the step a second time
+        once the output's committed shardings come back around."""
+        self.state = replicate(TrainState(*state), self.mesh)
         return self.state
 
     # ------------------------------------------------------------- forward
@@ -257,7 +272,11 @@ class ProbeTrainer:
                             "$MVP_FEATURE_CACHE_GB) — later batches "
                             "recompute", self._cache_budget / 1024**3)
                 else:
-                    feats = [jax.device_put(f) for f in cached]
+                    # commit cache hits with the SAME data-axis sharding the
+                    # jitted extract produces — a bare device_put lands on
+                    # one device and forces a second train-step executable
+                    # (plus per-step resharding) on any multi-device mesh
+                    feats = shard_batch(list(cached), self.mesh)
                 self.state, loss = self._train_step(
                     self.state, batch, n_valid, feats)
             else:
@@ -271,7 +290,7 @@ class ProbeTrainer:
                     "step %d | loss %.4f | %.2f it/s",
                     int(self.state.step), lv, (i + 1) / (time.time() - t0),
                 )
-            if wandb is not None:
+            if wandb:  # stub is falsy: avoid a per-step host fetch
                 wandb.log({"loss_batch": float(loss)})
         return float(jnp.mean(jnp.stack(losses))) if losses else float("nan")
 

@@ -68,6 +68,12 @@ class CSVWriter:
 class _WandbStub:
     run = None
 
+    def __bool__(self):
+        # falsy so hot loops can guard ``if wandb:`` — a per-step
+        # ``float(loss)`` host fetch for a no-op log would otherwise
+        # serialize async dispatch (one tunnel RTT per train step)
+        return False
+
     def log(self, *a, **k):
         pass
 

@@ -37,7 +37,9 @@ def test_make_global_batch_shards_over_mesh(rng):
 
 
 def test_loader_shards_partition_dataset():
-    """Union of per-host shards == dataset, disjoint (sampler semantics)."""
+    """Union of per-host shards == dataset; shards pad to EQUAL length by
+    wrapped repeats (DistributedSampler semantics: 23 -> 24 slots), so all
+    hosts agree on batches-per-epoch and collectives stay in lockstep."""
 
     class DS:
         def __len__(self):
@@ -48,9 +50,12 @@ def test_loader_shards_partition_dataset():
 
     world = 4
     seen = []
+    lens = set()
     for rank in range(world):
         loader = Loader(DS(), batch_size=3, shuffle=False,
                         num_shards=world, shard_index=rank)
+        lens.add(len(loader))
         for b in loader:
             seen.extend(b["x"].reshape(-1).tolist())
-    assert sorted(seen) == list(range(23))
+    assert set(seen) == set(range(23))
+    assert len(seen) == 24 and lens == {2}

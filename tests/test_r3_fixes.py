@@ -145,3 +145,77 @@ def test_partial_batch_gradients_match_unpadded(rng):
         lambda a, b: np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7),
         t8.state.params, t1.state.params)
+
+
+# ------------------------------------------------- engine/data review fixes
+def test_loader_shards_are_equal_length():
+    """Host shards pad to equal length (reference DistributedSampler
+    semantics): unequal shards desync multi-host steps-per-epoch and hang
+    the gradient all-reduce."""
+    ds = _DS(111)
+    lens = {k: len(Loader(ds, batch_size=8, drop_last=True,
+                          num_shards=2, shard_index=k))
+            for k in (0, 1)}
+    assert lens[0] == lens[1] == 7  # ceil(111/2)=56 -> 7 full batches
+
+
+def test_loader_rejects_missing_shard_index():
+    import pytest
+
+    with pytest.raises(ValueError):
+        Loader(_DS(8), batch_size=4, num_shards=2, shard_index=None)
+
+
+def test_loader_abandoned_iterator_releases_producer():
+    """Abandoning an iterator mid-epoch must not leave the producer thread
+    blocked on the bounded queue forever."""
+    import gc
+    import threading
+    import time
+
+    before = threading.active_count()
+    loader = Loader(_DS(64), batch_size=4, prefetch=1)
+    it = iter(loader)
+    next(it)
+    del it
+    gc.collect()
+    deadline = time.time() + 5.0
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= before
+
+
+def test_objectness_trains_with_feature_cache(tmp_path):
+    """cache_features=True must work on the objectness driver too (it
+    builds its train Loader directly; reference-analog drivers route
+    through cache_shuffle_kwargs)."""
+    from midvision_probe_tpu.config import compose
+
+    import train_generic_objectness
+
+    cfg = compose(
+        "objectness_train",
+        ["backbone=test_tiny", "dataset=synthetic_voc", "probe=binaryhead",
+         "+probe.hidden_dim=32", "optimizer=one_epoch", "batch_size=4",
+         "dataset.num_instances=10", "+backbone.return_multilayer=True",
+         "+system.cache_features=True", f"output_dir={tmp_path}"],
+    )
+    row = train_generic_objectness.run(cfg)
+    assert 0.0 <= row["IoU"] <= 1.0
+
+
+def test_set_state_recommits_to_mesh():
+    """Restored (host-numpy) states must come back mesh-replicated —
+    feeding numpy leaves to the donated jitted step forces a retrace."""
+    import jax
+
+    rng = np.random.RandomState(0)
+    trainer = _make_trainer(num_devices=8)
+    trainer.init({"image": rng.rand(8, 32, 32, 3).astype(np.float32),
+                  "depth": rng.rand(8, 32, 32, 1).astype(np.float32) + 0.5})
+    state = trainer.state
+    host_state = jax.tree_util.tree_map(np.asarray, state)
+    new_state = trainer.set_state(host_state)
+    leaf = jax.tree_util.tree_leaves(new_state.params)[0]
+    assert hasattr(leaf, "sharding")
+    assert len(leaf.sharding.device_set) == len(trainer.mesh.devices.ravel())

@@ -72,7 +72,7 @@ def run(cfg):
         restored = restore_checkpoint(ckpt, trainer.state)
         if restored is None:
             raise FileNotFoundError(f"no checkpoint under {ckpt}")
-        trainer.state, _ = restored
+        trainer.set_state(restored[0])
 
     # ------------------------------------------------------------ validate
     def metric_fn(scale_invariant):

@@ -20,6 +20,7 @@ from midvision_probe_tpu.engine.driver_common import (
     probe_dtype_kwargs,
     build_backbone,
     build_loader,
+    cache_shuffle_kwargs,
     emit_csv,
     fit,
     make_trainer,
@@ -55,8 +56,11 @@ def run(cfg):
     n_train = int(0.8 * n)
     train_ds = _Subset(full.dataset, perm[:n_train])
     val_ds = _Subset(full.dataset, perm[n_train:])
-    train_loader = Loader(train_ds, cfg.batch_size, shuffle=True, drop_last=True,
-                          seed=cfg.system.get("random_seed", 8))
+    # caching fixes batch composition but keeps per-epoch batch-order
+    # shuffling, like the other trainers (cache_shuffle_kwargs)
+    train_loader = Loader(train_ds, cfg.batch_size, drop_last=True,
+                          seed=cfg.system.get("random_seed", 8),
+                          **(cache_shuffle_kwargs(cfg) or {"shuffle": True}))
     val_loader = Loader(val_ds, cfg.batch_size)
 
     probe = instantiate(cfg.probe, feat_dim=backbone.feat_dim,
@@ -83,7 +87,7 @@ def run(cfg):
         restored = restore_checkpoint(ckpt, trainer.state)
         if restored is None:
             raise FileNotFoundError(f"no checkpoint under {ckpt}")
-        trainer.state, _ = restored
+        trainer.set_state(restored[0])
 
     # ------------------------------------------------------------ validate
     agg = {"F-measure": [], "IoU": [], "Accuracy": [], "CorLoc": []}

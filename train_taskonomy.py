@@ -68,7 +68,7 @@ def run(cfg):
         restored = restore_checkpoint(ckpt, trainer.state)
         if restored is None:
             raise FileNotFoundError(f"no checkpoint under {ckpt}")
-        trainer.state, _ = restored
+        trainer.set_state(restored[0])
 
     def metric_fn(pred, batch):
         target = batch["target"]
