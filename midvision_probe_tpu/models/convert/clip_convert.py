@@ -20,10 +20,7 @@ import numpy as np
 from midvision_probe_tpu.models.vit import ViTConfig
 
 
-def _np(t: Any) -> np.ndarray:
-    if hasattr(t, "detach"):
-        t = t.detach().cpu().numpy()
-    return np.asarray(t, dtype=np.float32)
+from midvision_probe_tpu.models.convert.common import _np  # noqa: E501
 
 
 def convert_vit_openclip(sd: Mapping[str, Any], cfg: ViTConfig,

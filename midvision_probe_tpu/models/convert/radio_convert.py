@@ -33,10 +33,7 @@ _TRUNK_PREFIXES = ("base_model.model.", "radio_model.model.", "model.", "")
 _COND_PREFIXES = ("base_model.", "radio_model.", "")
 
 
-def _np(t: Any) -> np.ndarray:
-    if hasattr(t, "detach"):
-        t = t.detach().cpu().numpy()
-    return np.asarray(t, dtype=np.float32)
+from midvision_probe_tpu.models.convert.common import _np  # noqa: E501
 
 
 def convert_radio(sd: Mapping[str, Any], cfg: ViTConfig,

@@ -9,10 +9,7 @@ import numpy as np
 from midvision_probe_tpu.models.resnet import STAGE_BLOCKS
 
 
-def _np(t: Any) -> np.ndarray:
-    if hasattr(t, "detach"):
-        t = t.detach().cpu().numpy()
-    return np.asarray(t, dtype=np.float32)
+from midvision_probe_tpu.models.convert.common import _np  # noqa: E501
 
 
 def _conv(sd: Mapping, key: str) -> dict:

@@ -9,10 +9,7 @@ import numpy as np
 from midvision_probe_tpu.models.vit_sam import SAMViTConfig
 
 
-def _np(t: Any) -> np.ndarray:
-    if hasattr(t, "detach"):
-        t = t.detach().cpu().numpy()
-    return np.asarray(t, dtype=np.float32)
+from midvision_probe_tpu.models.convert.common import _np  # noqa: E501
 
 
 def convert_sam(sd: Mapping[str, Any], cfg: SAMViTConfig,

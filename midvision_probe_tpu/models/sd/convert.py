@@ -11,10 +11,7 @@ from midvision_probe_tpu.models.sd.unet import UNetConfig
 from midvision_probe_tpu.models.sd.vae import VAEEncoderConfig
 
 
-def _np(t):
-    if hasattr(t, "detach"):
-        t = t.detach().cpu().float().numpy()
-    return np.asarray(t, dtype=np.float32)
+from midvision_probe_tpu.models.convert.common import _np  # noqa: E501
 
 
 def _conv(sd, key):
@@ -23,7 +20,13 @@ def _conv(sd, key):
 
 
 def _dense(sd, key, bias=True):
-    out = {"kernel": _np(sd[f"{key}.weight"]).T}
+    w = _np(sd[f"{key}.weight"])
+    if w.ndim == 4:
+        # SD-1.x diffusers checkpoints store transformer proj_in/proj_out
+        # as 1x1 convs; fold to the dense layout (same trick as the LDM
+        # path's _conv1x1_as_dense)
+        w = w[:, :, 0, 0]
+    out = {"kernel": w.T}
     if bias and f"{key}.bias" in sd:
         out["bias"] = _np(sd[f"{key}.bias"])
     return out

@@ -58,7 +58,7 @@ class SDFeaturizer:
         self.text = CLIPTextEncoder(self.text_cfg)
         self.alphas_cumprod = jnp.asarray(ddpm_alphas_cumprod())
         self._load(sd_id)
-        self._jit_feats = None
+        self._jit_feats = {}
 
     def _ckpt_dir(self):
         from midvision_probe_tpu.models.zoo import checkpoint_dir
@@ -122,7 +122,10 @@ class SDFeaturizer:
     def __call__(self, images, prompt_embeds, t=1, up_ft_indices=(0, 1, 2, 3),
                  noise_seed=0):
         """images (B, H, W, 3) in [-1, 1]; prompt_embeds (B, 77, 1024)."""
-        if self._jit_feats is None:
+        # one executable per tap set — a single cached closure would
+        # silently serve the FIRST call's up_ft_indices to later calls
+        cache_key = tuple(up_ft_indices)
+        if self._jit_feats.get(cache_key) is None:
             @jax.jit
             def fn(images, embeds, t, noise_key):
                 latents = self.vae.apply(self.vae_vars, images)
@@ -135,12 +138,12 @@ class SDFeaturizer:
                                       up_ft_indices=tuple(up_ft_indices))
                 return out["up_ft"]
 
-            self._jit_feats = fn
+            self._jit_feats[cache_key] = fn
         B = images.shape[0]
         t_arr = jnp.full((B,), int(t), jnp.int32)
         key = jax.random.PRNGKey(noise_seed)
-        return self._jit_feats(jnp.asarray(images), jnp.asarray(prompt_embeds),
-                               t_arr, key)
+        return self._jit_feats[cache_key](
+            jnp.asarray(images), jnp.asarray(prompt_embeds), t_arr, key)
 
 
 class DIFT:
@@ -363,14 +366,16 @@ class Zero123:
                 # c_concat = unscaled VAE latents (zero123 encode_first_stage)
                 latents = self.vae.apply(self.vae_vars, images)
                 latents = latents / self.vae_cfg.scaling_factor
-                a = self.alphas_cumprod[t]
+                # the UNet's primary input is PURE standard-normal noise
+                # (zero123.py:75 ``img = torch.randn(shape)`` — the image
+                # only enters through the c_concat channels); an earlier
+                # revision DDPM-noised the latents here, which at t=1 fed
+                # nearly-clean latents instead
                 noise = jax.random.normal(key, latents.shape, latents.dtype)
-                noisy = (jnp.sqrt(a)[:, None, None, None] * latents
-                         + jnp.sqrt(1 - a)[:, None, None, None] * noise)
-                x = jnp.concatenate([noisy, latents], axis=-1)
+                x = jnp.concatenate([noise, latents], axis=-1)
                 # unconditioned branch zeroes BOTH the cross-attention
                 # context and the concat latents (zero123.py:64-67)
-                x_uc = jnp.concatenate([noisy, jnp.zeros_like(latents)],
+                x_uc = jnp.concatenate([noise, jnp.zeros_like(latents)],
                                        axis=-1)
                 cond = self.unet.apply(self.unet_vars, x, t, ctx)["up_ft"]
                 uncond = self.unet.apply(

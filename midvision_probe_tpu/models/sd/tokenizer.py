@@ -109,6 +109,11 @@ class CLIPTokenizer:
         tokens = byte_vocab + [v + "</w>" for v in byte_vocab]
         tokens += ["".join(m) for m in merges]
         tokens += ["<|startoftext|>", "<|endoftext|>"]
+        # match SD-2.x HF tokenizers, which pad with "!" (id 0) — eos
+        # padding would change every pad position's text embedding (the
+        # text encoder has no attention mask and the UNet cross-attends
+        # over all 77 slots)
+        kw.setdefault("pad", "!")
         return cls({t: i for i, t in enumerate(tokens)}, merges, **kw)
 
     # ----------------------------------------------------------------- bpe

@@ -219,8 +219,13 @@ class UNet2DCondition(nn.Module):
                         c, chans[lvl], name=f"up_{i}_attn_{b}"
                     )(h, context)
             if i < n_levels - 1:
+                # upsample to the NEXT skip's spatial size, not a blind 2x
+                # (diffusers forward_upsample_size): odd grids truncate on
+                # the way down — 60x80 latents reach 8x10 via 15x20, and
+                # 2*(8,10) != (15,20) would crash the next concat
                 B, H, W, C = h.shape
-                h = jax.image.resize(h, (B, H * 2, W * 2, C), "nearest")
+                th, tw = skips[-1].shape[1:3]
+                h = jax.image.resize(h, (B, th, tw, C), "nearest")
                 h = nn.Conv(chans[lvl], (3, 3), padding=((1, 1), (1, 1)),
                             dtype=c.dtype, name=f"up_{i}_upsample")(h)
             if i in up_ft_indices:

@@ -468,3 +468,22 @@ def test_zero123_cond_embedding_matches_torch(rng, tmp_path, monkeypatch):
                        torch.tensor([[0.0, 0.0, 1.0, 0.0]]).expand(2, 4)], -1)
         ref = cc(c)[:, None].numpy()
     np.testing.assert_allclose(got, ref, atol=5e-4, rtol=1e-3)
+
+
+def test_unet_odd_latent_grid(rng):
+    """Odd spatial grids (e.g. 480x640 images -> 60x80 latents -> 15x20 at
+    depth) truncate on the way down; the up path must upsample to the
+    NEXT SKIP's size (diffusers forward_upsample_size), not a blind 2x."""
+    cfg = UNetConfig(block_out_channels=(8, 16), layers_per_block=1,
+                     cross_attention_dim=12, head_dim=4, norm_groups=G)
+    import jax
+
+    from midvision_probe_tpu.models.sd.unet import UNet2DCondition
+
+    unet = UNet2DCondition(cfg)
+    x = jnp.asarray(rng.randn(1, 15, 20, 4).astype(np.float32))
+    ctx = jnp.asarray(rng.randn(1, 5, 12).astype(np.float32))
+    ts = jnp.array([7], jnp.int32)
+    variables = unet.init(jax.random.PRNGKey(0), x, ts, ctx)
+    out = unet.apply(variables, x, ts, ctx)["up_ft"]
+    assert out[-1].shape[1:3] == (15, 20)
