@@ -48,7 +48,8 @@ VIT_GOLDENS = {
                          replica=dict(grid=24, layerscale=True)),
     "siglip_vitb16": dict(kind="timm", size=384, grid=24,
                           class_token=False,
-                          replica=dict(grid=24, class_token=False)),
+                          replica=dict(grid=24, class_token=False,
+                                       act="gelu_tanh")),
     "beitv2_vitb16": dict(kind="beit"),
     "midas_l16": dict(kind="beit", size=384, grid=24,
                       taps=(5, 11, 17, 23), strip="pretrained.model.",

@@ -59,14 +59,16 @@ class _LSGamma(nn.Module):
 
 class TimmBlock(nn.Module):
     def __init__(self, dim, heads, mlp_ratio, layerscale=False, eps=1e-6,
-                 ls_naming="gamma"):
+                 ls_naming="gamma", act="gelu"):
         super().__init__()
         self.norm1 = nn.LayerNorm(dim, eps=eps)
         self.attn = TimmAttention(dim, heads)
         self.norm2 = nn.LayerNorm(dim, eps=eps)
         self.mlp = nn.Sequential()
         self.mlp.fc1 = nn.Linear(dim, int(dim * mlp_ratio))
-        self.mlp.act = nn.GELU()
+        # SigLIP trains in big_vision with JAX's default tanh-approx gelu
+        self.mlp.act = nn.GELU(approximate="tanh" if act == "gelu_tanh"
+                               else "none")
         self.mlp.fc2 = nn.Linear(int(dim * mlp_ratio), dim)
         self._ls = None
         if layerscale and ls_naming == "ls":
@@ -99,7 +101,8 @@ class TimmViT(nn.Module):
 
     def __init__(self, dim=768, depth=12, heads=12, patch=16, grid=14,
                  mlp_ratio=4.0, layerscale=False, class_token=True,
-                 final_norm=True, eps=1e-6, seed=0, ls_naming="gamma"):
+                 final_norm=True, eps=1e-6, seed=0, ls_naming="gamma",
+                 act="gelu"):
         super().__init__()
         torch.manual_seed(seed)
         self.patch_embed = nn.Sequential()
@@ -109,7 +112,7 @@ class TimmViT(nn.Module):
             self.cls_token = nn.Parameter(torch.zeros(1, 1, dim))
         self.pos_embed = nn.Parameter(torch.zeros(1, n, dim))
         self.blocks = nn.ModuleList(
-            [TimmBlock(dim, heads, mlp_ratio, layerscale, eps, ls_naming)
+            [TimmBlock(dim, heads, mlp_ratio, layerscale, eps, ls_naming, act)
              for _ in range(depth)]
         )
         if final_norm:

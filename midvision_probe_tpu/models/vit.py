@@ -53,7 +53,10 @@ class ViTConfig:
     layernorm_eps: float = 1e-6
     qkv_bias: bool = True
     patch_bias: bool = True  # CLIP's conv1 has no bias
-    act: str = "gelu"  # gelu (erf) | quickgelu (openai CLIP)
+    # gelu (erf in f32) | quickgelu (openai CLIP) | gelu_tanh (SigLIP:
+    # big_vision trains with JAX's default tanh-approx gelu — HF mirrors it
+    # as hidden_act="gelu_pytorch_tanh")
+    act: str = "gelu"
     layerscale: bool = False
     rel_pos_bias: bool = False  # BEiT-style per-block relative position bias
     rope: bool = False  # CroCo-style 2D RoPE on q/k (no abs pos embed)
@@ -161,6 +164,8 @@ class Mlp(nn.Module):
         x = x @ w1.astype(c.dtype) + b1.astype(c.dtype)
         if c.act == "quickgelu":  # openai CLIP: x * sigmoid(1.702 x)
             x = x * nn.sigmoid(1.702 * x)
+        elif c.act == "gelu_tanh":  # SigLIP: tanh-approx gelu at ANY dtype
+            x = jax.nn.gelu(x, approximate=True)
         else:
             x = gelu(x)  # erf in f32, tanh in bf16 (ops/activations.py)
         return x @ w2.astype(c.dtype) + b2.astype(c.dtype)

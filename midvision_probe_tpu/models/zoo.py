@@ -213,14 +213,16 @@ register(ZooEntry(
 register(ZooEntry(
     "siglip_vitb16", "vit", "raw", "siglip_vitb16_384.bin",
     url="timm vit_base_patch16_siglip_384",
-    vit=_vit("vit_base", 16, 24, class_token=False, pos_embed_cls=False),
+    vit=_vit("vit_base", 16, 24, class_token=False, pos_embed_cls=False,
+             act="gelu_tanh"),
     default_size=384,
     image_mean=(0.5, 0.5, 0.5), image_std=(0.5, 0.5, 0.5),
 ))
 register(ZooEntry(
     "siglip_vitl16", "vit", "raw", "siglip_vitl16_384.bin",
     url="timm vit_large_patch16_siglip_384",
-    vit=_vit("vit_large", 16, 24, class_token=False, pos_embed_cls=False),
+    vit=_vit("vit_large", 16, 24, class_token=False, pos_embed_cls=False,
+             act="gelu_tanh"),
     default_size=384,
     image_mean=(0.5, 0.5, 0.5), image_std=(0.5, 0.5, 0.5),
 ))
