@@ -53,40 +53,48 @@ def drill() -> int:
 
     if present:
         # convert + forward smoke every present file
-        rc_convert = main(present)
-        smoke_ok = rc_convert == 0
+        _, _, smoke_failed = _convert_smoke(present)
+        smoke_failed = {n for n, _ in smoke_failed}
         # golden round-trip for families with an independent torch oracle
         with tempfile.TemporaryDirectory() as td:
             export_golden.export(td)
-            rc_verify = export_golden.verify(td)
+            rc_verify, golden_failed = export_golden.verify_detailed(td)
         for name in present:
             has_oracle = (name in export_golden.VIT_GOLDENS
                           or zoo.ZOO[name].arch == "resnet")
-            if has_oracle:
-                status = "OK" if rc_verify == 0 else "CHECK-LOG"
-                detail = "converted + golden-verified vs torch replica"
+            # status is attributed PER MODEL: one family's failure must not
+            # mislabel the others (or mask its own smoke failure)
+            if name in smoke_failed:
+                rows.append((name, "FAIL", "conversion/forward smoke failed"))
+            elif has_oracle and name in golden_failed:
+                rows.append((name, "FAIL", "golden parity vs torch replica"))
+            elif has_oracle:
+                rows.append((name, "OK",
+                             "converted + golden-verified vs torch replica"))
             else:
-                status = "OK-SMOKE" if smoke_ok else "CHECK-LOG"
-                detail = "converted + finite-forward smoke (no torch oracle)"
-            rows.append((name, status, detail))
+                rows.append((name, "OK-SMOKE",
+                             "converted + finite-forward smoke "
+                             "(no torch oracle)"))
     else:
         rc_verify = 0
-        smoke_ok = True
+        smoke_failed = set()
 
     print("\n=== weights-landing drill report "
           f"($MVP_CHECKPOINT_DIR={zoo.checkpoint_dir()}) ===")
     for name, status, detail in sorted(rows):
         print(f"{name:28s} {status:10s} {detail}")
     n_missing = sum(1 for _, s, _ in rows if s == "MISSING")
+    n_fail = sum(1 for _, s, _ in rows if s == "FAIL")
     print(f"\npresent {len(present)} | missing {n_missing} | "
-          f"golden rc={rc_verify} | smoke ok={smoke_ok}")
-    return 0 if (rc_verify == 0 and smoke_ok) else 1
+          f"failed {n_fail} | golden rc={rc_verify} | "
+          f"smoke ok={not smoke_failed}")
+    return 0 if (rc_verify == 0 and not smoke_failed) else 1
 
 
-def main(argv=None):
-    names = (argv if argv is not None else sys.argv[1:]) or None
-    if names and "--all" in names:
-        return drill()
+def _convert_smoke(names=None):
+    """Convert + finite-forward-smoke every (selected) zoo entry whose
+    checkpoint exists. Returns ``(ok, missing, failed)`` name lists
+    (``failed`` as ``(name, error)`` pairs)."""
     import jax.numpy as jnp
 
     from midvision_probe_tpu.models import zoo
@@ -121,7 +129,14 @@ def main(argv=None):
         except Exception as e:  # noqa: BLE001 — report-and-continue tool
             failed.append((name, str(e)))
             print(f"[FAILED]  {name}: {e}")
+    return ok, missing, failed
 
+
+def main(argv=None):
+    names = (argv if argv is not None else sys.argv[1:]) or None
+    if names and "--all" in names:
+        return drill()
+    ok, missing, failed = _convert_smoke(names)
     print(f"\nconverted {len(ok)} | missing weights {len(missing)} | "
           f"failed {len(failed)}")
     if missing:

@@ -243,6 +243,13 @@ def export(out_dir: str) -> int:
 
 
 def verify(golden_dir: str, atol: float = 2e-3) -> int:
+    return verify_detailed(golden_dir, atol)[0]
+
+
+def verify_detailed(golden_dir: str, atol: float = 2e-3):
+    """Like ``verify`` but returns ``(rc, failed_model_names)`` so callers
+    (the landing drill) can attribute failures per model instead of
+    painting every row with one global rc."""
     import jax.numpy as jnp
 
     from midvision_probe_tpu.models import zoo
@@ -278,7 +285,7 @@ def verify(golden_dir: str, atol: float = 2e-3) -> int:
                 failures.append((name, i, err))
     if failures:
         print(f"{len(failures)} FAILURES")
-    return 1 if failures else 0
+    return (1 if failures else 0), {name for name, _, _ in failures}
 
 
 def main():

@@ -44,7 +44,10 @@ def evaluate_dataset(feature_fn, dataset, batch_pairs=8, image_size=800,
         if mask_feats:
             segs = np.stack([it["seg_i"] for it in items]
                             + [it["seg_j"] for it in items])
-            pm = patch_masks(jnp.asarray(segs), patch_size)
+            # grid from the ACTUAL feature shape, not image_size//patch:
+            # fixed-input backbones (BEiT family) emit their own grid
+            pm = patch_masks(jnp.asarray(segs), patch_size,
+                             grid_hw=feats.shape[1:3])
             masks = {"masks_i": pm[:b], "masks_j": pm[b:]}
         out = batch_errors(
             feats[:b], feats[b:],

@@ -54,30 +54,44 @@ class Loader:
         ``train_depth.py:94-95``)."""
         self.epoch = epoch
 
-    def _indices(self) -> np.ndarray:
+    def _indices(self) -> tuple[np.ndarray, np.ndarray]:
+        """This shard's dataset indices plus a per-position validity mask.
+
+        Positions marked invalid are WRAPPED REPEATS added so every shard
+        has equal length — like the reference's DistributedSampler
+        (total_size = ceil(n/k)*k); unequal shards make hosts disagree on
+        batches-per-epoch and hang the gradient all-reduce on the host
+        that runs an extra step. For training this matches the reference's
+        duplicate-sample semantics; for evaluation the duplicates must NOT
+        be double-counted (the reference builds its test loader UNSHARDED,
+        ``train_depth.py:559`` num_gpus=1), so the mask is surfaced to
+        ``validate`` as ``batch["_valid"]``."""
         n = len(self.dataset)
         idx = np.arange(n)
         if self.shuffle:
             rng = np.random.RandomState(self.seed + self.epoch)
             rng.shuffle(idx)
-        # per-host shard. Like the reference's DistributedSampler
-        # (total_size = ceil(n/k)*k with wrapped repeats), shards are
-        # padded to EQUAL length — unequal shards make hosts disagree on
-        # batches-per-epoch and hang the gradient all-reduce on the host
-        # that runs an extra step.
+        valid = np.ones(n, bool)
         if self.num_shards > 1 and n % self.num_shards:
-            idx = np.resize(idx, ((n // self.num_shards) + 1)
-                            * self.num_shards)
-        return idx[self.shard_index:: self.num_shards]
+            total = ((n // self.num_shards) + 1) * self.num_shards
+            idx = np.resize(idx, total)
+            valid = np.resize(valid, total)
+            valid[n:] = False
+        return (idx[self.shard_index:: self.num_shards],
+                valid[self.shard_index:: self.num_shards])
 
     def __len__(self) -> int:
-        n = len(self._indices())
+        n = len(self._indices()[0])
         if self.drop_last:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
     def __iter__(self) -> Iterator[dict]:
-        idx = self._indices()
+        idx, valid = self._indices()
+        # key presence must agree across HOSTS (shard 0 may hold no wraps
+        # while shard k-1 does), so gate on global padding, not this shard's
+        padded = (self.num_shards > 1
+                  and len(self.dataset) % self.num_shards != 0)
         nb = len(self)
         order = np.arange(nb)
         if self.shuffle_batch_order:
@@ -102,9 +116,11 @@ class Loader:
         def produce(q: queue.Queue):
             try:
                 for b in order:
-                    sel = idx[b * self.batch_size: (b + 1) * self.batch_size]
-                    items = [self.dataset[int(i)] for i in sel]
+                    lo, hi = b * self.batch_size, (b + 1) * self.batch_size
+                    items = [self.dataset[int(i)] for i in idx[lo:hi]]
                     batch = _stack(items)
+                    if padded:
+                        batch["_valid"] = valid[lo:hi].copy()
                     if self.shuffle_batch_order:
                         batch["_batch_id"] = int(b)
                     if not _put(q, batch):

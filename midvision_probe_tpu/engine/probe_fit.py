@@ -251,6 +251,11 @@ class ProbeTrainer:
             # epoch, so the enumeration index no longer identifies the
             # batch's composition
             bid = batch.pop("_batch_id", i)
+            # multi-host shard padding wraps a few leading samples; TRAIN
+            # keeps the reference DistributedSampler's duplicate-sample
+            # semantics (total_size=ceil(n/k)*k wrapped repeats), so the
+            # mask is only consumed by validate()
+            batch.pop("_valid", None)
             batch, n_valid = self._pad(_to_jnp(batch))
             batch = shard_batch(batch, self.mesh)
             if self.cache_features:
@@ -344,15 +349,24 @@ class ProbeTrainer:
 
     def validate(self, loader, metric_fn, max_batches: int | None = None):
         """Run ``metric_fn(pred, batch) -> dict of (B,) arrays`` over the
-        loader and return concatenated numpy metrics."""
+        loader and return concatenated numpy metrics.
+
+        Rows the loader marks as shard-padding duplicates (``_valid`` —
+        wrapped repeats that equalize multi-host shard lengths) are dropped
+        so eval metrics match the reference's UNSHARDED test loader
+        (``train_depth.py:559``) instead of double-counting samples."""
         acc: dict[str, list] = {}
         for i, batch in enumerate(loader):
             if max_batches is not None and i >= max_batches:
                 break
+            valid = batch.pop("_valid", None)
             pred = self.predict(batch)
             metrics = metric_fn(pred, _to_jnp(batch))
             for k, v in metrics.items():
-                acc.setdefault(k, []).append(np.asarray(v).reshape(-1))
+                v = np.asarray(v).reshape(-1)
+                if valid is not None and v.shape[0] == valid.shape[0]:
+                    v = v[valid]
+                acc.setdefault(k, []).append(v)
         return {k: np.concatenate(v) for k, v in acc.items()}
 
 

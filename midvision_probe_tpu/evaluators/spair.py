@@ -20,24 +20,42 @@ from midvision_probe_tpu.ops.image import grid_sample
 from midvision_probe_tpu.utils.correspondence import argmax_2d
 
 
-def patch_masks(segs, patch_size: int = 16):
-    """(B, S, S) 0/1 segmentation masks → (B, S/p, S/p) bool patch masks.
+def patch_masks(segs, patch_size: int = 16, grid_hw=None):
+    """(B, S, S) 0/1 segmentation masks → (B, h, w) bool patch masks.
 
     Reference ``evaluate_spair_correspondence.py:52-53``:
     ``avg_pool2d(mask, 16) > 4/16**2`` — i.e. keep patches with more than 4
     foreground pixels. (The reference actually feeds 0/255-valued masks —
     torchvision ToTensor leaves mode-F PIL images unscaled — making its
     effective threshold ≥ 1 pixel; we feed normalized 0/1 masks and apply
-    the intended 4-pixel threshold. Latent-bug policy: fix + document.)"""
+    the intended 4-pixel threshold. Latent-bug policy: fix + document.)
+
+    ``grid_hw`` pins the output grid to the backbone's ACTUAL feature grid.
+    The reference derives the grid from image_size/16 only, which crashes
+    for fixed-input backbones (BEiT family re-resizes its inputs to
+    224/384, ``beit_v2.py:255-257``, so its feature grid is 14/24 — not
+    image_size/16). When the image does not tile into ``grid_hw`` exactly,
+    foreground fractions are averaged into cells via area resize. The
+    threshold stays "more than 4 source pixels per cell" in both paths."""
     b, s, _ = segs.shape
-    h = s // patch_size
-    # non-divisible patch sizes (e.g. p=14 at image_size 800): the patch
-    # embed's VALID-stride conv drops the right/bottom remainder pixels,
-    # so the mask grid crops identically to stay aligned with the
-    # (s//p, s//p) feature grid
-    segs = segs[:, : h * patch_size, : h * patch_size]
-    pooled = segs.reshape(b, h, patch_size, h, patch_size).mean(axis=(2, 4))
-    return pooled > 4.0 / patch_size**2
+    if grid_hw is None:
+        grid_hw = (s // patch_size, s // patch_size)
+    h, w = grid_hw
+    if s % h == 0 and s % w == 0 and s // h == s // w:
+        patch = s // h
+        # non-divisible patch sizes (e.g. p=14 at image_size 800): the
+        # patch embed's VALID-stride conv drops the right/bottom remainder
+        # pixels, so the mask grid crops identically to stay aligned
+        segs = segs[:, : h * patch, : w * patch]
+        pooled = segs.reshape(b, h, patch, w, patch).mean(axis=(2, 4))
+        cell_area = float(patch * patch)
+    else:
+        # fixed-input backbones: the image was resized before patching, so
+        # cell boundaries don't land on pixel multiples — area-average
+        pooled = jax.image.resize(segs.astype(jnp.float32), (b, h, w),
+                                  method="linear", antialias=True)
+        cell_area = (s / h) * (s / w)
+    return pooled > 4.0 / cell_area
 
 
 def pair_errors(feats_i, feats_j, kps_i, kps_j, thresh_scale, image_size,

@@ -24,7 +24,9 @@ def _dense(sd, key, bias=True):
     if w.ndim == 4:
         # SD-1.x diffusers checkpoints store transformer proj_in/proj_out
         # as 1x1 convs; fold to the dense layout (same trick as the LDM
-        # path's _conv1x1_as_dense)
+        # path's _conv1x1_as_dense). Anything larger routed here is a
+        # layout-mapping bug — fail loudly rather than keep one tap.
+        assert w.shape[2:] == (1, 1), (key, w.shape)
         w = w[:, :, 0, 0]
     out = {"kernel": w.T}
     if bias and f"{key}.bias" in sd:

@@ -487,13 +487,28 @@ class ViT(nn.Module):
             # (see _TapBlock — full ys stacking would be depth/len(taps)x
             # the HBM high-water).
             sorted_taps = tuple(sorted(set(taps)))
-            scanned = nn.scan(
+            # mirror the unrolled path's early break: scan only up to the
+            # last tap (probing layer k runs k+1 blocks, not depth). Params
+            # are created/stored at full depth — checkpoints stay layout-
+            # compatible — and sliced to the scanned prefix at apply time.
+            length = c.depth if self.is_initializing() else max_tap + 1
+            scanned_cls = nn.scan(
                 _TapBlock,
                 variable_axes={"params": 0, "intermediates": 0},
                 split_rngs={"params": True},
                 in_axes=nn.broadcast,
-                length=c.depth,
-            )(c, (gh, gw), n_valid, sorted_taps, name="blocks_scan")
+                length=length,
+            )
+            if length < c.depth:
+                # wrap the SCANNED module so the slice sees the stacked
+                # (depth, ...) tree before scan splits it per iteration
+                scanned_cls = nn.map_variables(
+                    scanned_cls, "params",
+                    trans_in_fn=lambda vs: jax.tree.map(
+                        lambda a: a[:length], vs),
+                )
+            scanned = scanned_cls(c, (gh, gw), n_valid, sorted_taps,
+                                  name="blocks_scan")
             buf0 = jnp.zeros((len(sorted_taps),) + x.shape, x.dtype)
             (_, buf, _), _ = scanned((x, buf0, jnp.int32(0)), pos_2d)
             for i in taps:

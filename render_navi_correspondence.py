@@ -88,13 +88,19 @@ def run(cfg, max_pairs: int = 8):
         render_pair(np.asarray(batch["image_0"][0]),
                     np.asarray(batch["image_1"][0]), uv0, uv1, err3d,
                     os.path.join(pair_dir, "matches.png"))
+        # a pair can yield zero finite-weight matches (e.g. fully invalid
+        # xyz rows): record 0 matches instead of NaN-ing the mean
+        mean_err = float(err3d.mean()) if err3d.size else None
         with open(os.path.join(pair_dir, "errors.json"), "w") as f:
             json.dump({
                 "pair_id": str(batch.get("pair_id", [i])[0]),
-                "err3d_mean": float(err3d.mean()),
+                "num_matches": int(err3d.size),
+                "err3d_mean": mean_err,
                 "err3d": err3d.tolist(),
             }, f)
-        logger.info("pair %d: mean 3D err %.4f m -> %s", i, err3d.mean(),
+        logger.info("pair %d: %d matches, mean 3D err %s m -> %s", i,
+                    err3d.size,
+                    "n/a" if mean_err is None else f"{mean_err:.4f}",
                     pair_dir)
     return out_dir
 

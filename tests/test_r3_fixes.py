@@ -219,3 +219,45 @@ def test_set_state_recommits_to_mesh():
     leaf = jax.tree_util.tree_leaves(new_state.params)[0]
     assert hasattr(leaf, "sharding")
     assert len(leaf.sharding.device_set) == len(trainer.mesh.devices.ravel())
+
+
+def test_loader_marks_shard_padding_invalid():
+    """Wrapped shard-padding repeats carry _valid=False so validate() can
+    drop them: the reference evaluates on an UNSHARDED test loader
+    (train_depth.py:559, num_gpus=1) — double-counting wrapped samples
+    would bias multi-host eval means."""
+    ds = _DS(5)  # 2 shards -> padded to 6, one wrapped repeat on shard 1
+    flags, vals = [], []
+    for rank in (0, 1):
+        for b in Loader(ds, batch_size=3, num_shards=2, shard_index=rank):
+            assert "_valid" in b
+            flags.extend(b["_valid"].tolist())
+            vals.extend(np.asarray(b["x"]).reshape(-1).tolist())
+    assert sum(flags) == 5 and len(flags) == 6
+    # the valid positions cover the dataset exactly once
+    kept = [v for v, f in zip(vals, flags) if f]
+    assert sorted(kept) == list(range(5))
+    # unsharded / exactly-divisible loaders carry no mask key
+    for b in Loader(_DS(6), batch_size=3, num_shards=2, shard_index=0):
+        assert "_valid" not in b
+
+
+def test_validate_drops_shard_padding_rows():
+    """ProbeTrainer.validate excludes _valid=False rows from the
+    concatenated metrics."""
+    from midvision_probe_tpu.engine.probe_fit import ProbeTrainer
+
+    class _Loader:
+        def __iter__(self):
+            yield {"image": np.zeros((3, 4, 4, 3), np.float32),
+                   "_valid": np.array([True, True, False])}
+
+    class _T(ProbeTrainer):
+        def __init__(self):
+            pass
+
+        def predict(self, batch):
+            return np.arange(batch["image"].shape[0], dtype=np.float32)
+
+    out = _T().validate(_Loader(), lambda pred, batch: {"m": pred})
+    assert out["m"].tolist() == [0.0, 1.0]

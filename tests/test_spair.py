@@ -198,3 +198,58 @@ def test_patch_masks_nondivisible_patch():
     m = np.asarray(patch_masks(jnp.asarray(seg), patch_size=14))
     assert m.shape == (1, 4, 4)
     assert m[0, :2, :2].all() and not m[0, 2:, :].any() and not m[0, :, 2:].any()
+
+
+def test_patch_masks_grid_hw_area_path():
+    """grid_hw that doesn't tile the image (fixed-input backbones) takes
+    the area-resize path; threshold stays >4 source pixels per cell."""
+    import jax.numpy as jnp
+
+    from midvision_probe_tpu.evaluators.spair import patch_masks
+
+    seg = np.zeros((1, 48, 48), np.float32)
+    seg[0, :24, :24] = 1.0  # top-left quadrant fully foreground
+    m = np.asarray(patch_masks(jnp.asarray(seg), grid_hw=(5, 5)))
+    assert m.shape == (1, 5, 5)
+    # cells fully inside the quadrant are kept; fully-background cells not
+    assert m[0, 0, 0] and m[0, 1, 1]
+    assert not m[0, 4, 4] and not m[0, 0, 4]
+
+
+def test_spair_mask_feats_fixed_input_backbone(spair_root):
+    """Fixed-input backbones (BEiT family) emit features at THEIR grid, not
+    image_size//patch: the mask grid must follow the feature shape (the
+    reference hardcodes image_size/16 and would crash —
+    evaluate_spair_correspondence.py:52-53 vs beit_v2.py:255-257)."""
+    import jax
+    import jax.numpy as jnp
+
+    from midvision_probe_tpu.datasets.spair import SPairDataset
+    from midvision_probe_tpu.evaluators.spair import make_feature_fn
+    from midvision_probe_tpu.models import zoo
+
+    import evaluate_spair_correspondence as drv
+
+    model = zoo.build_vit_extractor("test_tiny_vit", output="dense",
+                                    return_multilayer=False, init_size=32)
+    inner = make_feature_fn(model)
+
+    def fixed_input_fn(imgs):  # simulate a forced 32px input at 64px eval
+        imgs = jax.image.resize(
+            imgs, (imgs.shape[0], 32, 32, imgs.shape[3]), "bilinear")
+        return inner(imgs)
+
+    ds = SPairDataset(spair_root, "test", image_size=64, use_bbox=False)
+    it = ds[0]
+
+    class _One:
+        def __len__(self):
+            return 1
+
+        def __getitem__(self, i):
+            return it
+
+    recall, _ = drv.evaluate_dataset(
+        fixed_input_fn, _One(), batch_pairs=1, image_size=64,
+        mask_feats=True, patch_size=model.patch_size)
+    assert np.isfinite(recall)

@@ -167,3 +167,34 @@ def test_scan_mode_shards_over_mesh():
     assert out.sharding.spec == P("data")
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_scan_stops_at_max_tap():
+    """Scan mode mirrors the unrolled path's early break: probing layer k
+    runs k+1 blocks, not cfg.depth (2.7x wasted backbone compute for
+    layer=11 on a depth-32 ViT otherwise). Checked on the jaxpr: the block
+    scan's length must be max_tap+1."""
+    scan = ViTConfig(patch_size=8, width=64, depth=4, num_heads=2,
+                     scan_blocks=True)
+    img = jax.random.normal(jax.random.PRNGKey(3), (1, 32, 24, 3))
+    variables = jax.jit(ViT(scan).init, static_argnums=2)(
+        jax.random.PRNGKey(0), img, (0, 1, 2, 3))
+    # init keeps the full-depth stacked layout (checkpoint compatibility)
+    stacked = variables["params"]["blocks_scan"]["block"]
+    leaf = jax.tree_util.tree_leaves(stacked)[0]
+    assert leaf.shape[0] == 4
+
+    def scan_lengths(taps):
+        jaxpr = jax.make_jaxpr(
+            lambda v, x: ViT(scan).apply(v, x, taps=taps))(variables, img)
+        return [e.params["length"] for e in jaxpr.jaxpr.eqns
+                if e.primitive.name == "scan"]
+
+    assert scan_lengths((0, 1))[0] == 2
+    assert scan_lengths((0, 1, 2, 3))[0] == 4
+    # and the truncated scan still matches the full one on shared taps
+    out_part = ViT(scan).apply(variables, img, taps=(1,))
+    out_full = ViT(scan).apply(variables, img, taps=(1, 3))
+    np.testing.assert_allclose(np.asarray(out_part["tokens"][0]),
+                               np.asarray(out_full["tokens"][0]),
+                               rtol=1e-6, atol=1e-6)
