@@ -21,6 +21,8 @@ misreading:
 * CLIP      — quickgelu + pre-LN + bias-free patch embed
 * SigLIP    — tanh-approx GELU (big_vision JAX default), no cls token
 * ConvNeXt2 — GRN (global response norm) in place of LayerScale
+* ResNet-50 — the v1.5 bottleneck trunk behind the 17-model SSL zoo
+* MAE       — generated 2D sin-cos position embedding (not converted)
 """
 
 import numpy as np
@@ -356,3 +358,92 @@ def test_convnextv2_grn_matches_hf(rng):
         # HF hidden states are channels-first
         _assert_close(np.asarray(got).transpose(0, 3, 1, 2),
                       out.hidden_states[i + 1].numpy(), atol=1e-4, rtol=1e-3)
+
+
+# --------------------------------------------------------------------------
+# ResNet-50: the trunk behind the 17-model SSL zoo (simclr.py:29-115).
+# HF ResNetModel is an independent v1.5 implementation (stride in the 3x3,
+# torchvision-equivalent); remap to the torchvision naming every VISSL/
+# MoCo/MMSelfSup checkpoint is normalized to (util.py:106).
+# --------------------------------------------------------------------------
+def test_resnet50_matches_hf(rng):
+    from midvision_probe_tpu.models.convert import convert_resnet50
+    from midvision_probe_tpu.models.resnet import STAGE_BLOCKS, ResNet50
+
+    hf = _randomize(transformers.ResNetModel(transformers.ResNetConfig(
+        embedding_size=64, hidden_sizes=[256, 512, 1024, 2048],
+        depths=list(STAGE_BLOCKS), layer_type="bottleneck",
+        downsample_in_first_stage=False,
+    )))
+    assert not hf.config.downsample_in_bottleneck  # v1.5 = torchvision
+
+    sd = {}
+    for k, v in hf.state_dict().items():
+        if "num_batches_tracked" in k:
+            continue
+        k = k.replace("embedder.embedder.", "")
+        for s in range(4):
+            k = k.replace(f"encoder.stages.{s}.layers.", f"layer{s + 1}.")
+        if k.startswith("convolution."):
+            k = k.replace("convolution.", "conv1.")
+        elif k.startswith("normalization."):
+            k = k.replace("normalization.", "bn1.")
+        k = k.replace(".shortcut.convolution.", ".downsample.0.")
+        k = k.replace(".shortcut.normalization.", ".downsample.1.")
+        for c in range(3):
+            k = k.replace(f".layer.{c}.convolution.", f".conv{c + 1}.")
+            k = k.replace(f".layer.{c}.normalization.", f".bn{c + 1}.")
+        sd[k] = v
+
+    variables = convert_resnet50(sd)
+    x = rng.randn(1, 3, 64, 64).astype(np.float32)
+    with torch.no_grad():
+        out = hf(torch.from_numpy(x), output_hidden_states=True)
+    got = ResNet50().apply(variables, jnp.asarray(x.transpose(0, 2, 3, 1)),
+                           taps=(0, 1, 2, 3, 4))
+    # hidden_states[0] = stem (conv7x7+bn+relu+maxpool) = our tap 0;
+    # [s+1] = bottleneck stage s (channels-first)
+    for i, g in enumerate(got):
+        _assert_close(np.asarray(g).transpose(0, 3, 1, 2),
+                      out.hidden_states[i].numpy(), atol=2e-4, rtol=1e-3)
+
+
+# --------------------------------------------------------------------------
+# MAE: fixed 2D sin-cos position embedding (mae.py:74-104). ViTMAEModel with
+# mask_ratio=0 and identity noise keeps all patches in order, so the oracle
+# exercises OUR sincos2d generation (vit.py:77-97) against HF's — the table
+# is generated, not converted, on our side.
+# --------------------------------------------------------------------------
+def test_mae_sincos_matches_hf(rng):
+    from midvision_probe_tpu.models.convert import convert_vit_hf
+
+    D, L, H, P, IMG = 32, 2, 2, 16, 48
+    hf = transformers.ViTMAEModel(transformers.ViTMAEConfig(
+        hidden_size=D, num_hidden_layers=L, num_attention_heads=H,
+        intermediate_size=2 * D, image_size=IMG, patch_size=P,
+        mask_ratio=0.0, layer_norm_eps=1e-6, hidden_act="gelu",
+    ))
+    # randomize weights but PRESERVE the fixed sincos table (the oracle)
+    g = torch.Generator().manual_seed(5)
+    with torch.no_grad():
+        for n, p in hf.named_parameters():
+            if "position_embeddings" not in n:
+                p.copy_(0.02 * torch.randn(p.shape, generator=g))
+    hf.eval()
+
+    cfg = ViTConfig(patch_size=P, width=D, depth=L, num_heads=H,
+                    mlp_ratio=2.0, pos_embed="sincos2d")
+    variables = convert_vit_hf(hf.state_dict(), cfg)
+
+    x = rng.randn(2, 3, IMG, IMG).astype(np.float32)
+    n_patches = (IMG // P) ** 2
+    identity_noise = torch.arange(n_patches, dtype=torch.float32)[None]
+    identity_noise = identity_noise.expand(2, n_patches)
+    with torch.no_grad():
+        out = hf(torch.from_numpy(x), noise=identity_noise,
+                 output_hidden_states=True)
+    assert out.mask.sum() == 0  # nothing masked, order preserved
+    res = ViT(cfg).apply(variables, jnp.asarray(x.transpose(0, 2, 3, 1)),
+                         taps=tuple(range(L)))
+    for i, got in enumerate(res["tokens"]):
+        _assert_close(got, out.hidden_states[i + 1].numpy())
