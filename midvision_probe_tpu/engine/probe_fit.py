@@ -257,6 +257,14 @@ class ProbeTrainer:
             # mask is only consumed by validate()
             batch.pop("_valid", None)
             batch, n_valid = self._pad(_to_jnp(batch))
+            if n_valid is not None and jax.process_count() > 1:
+                raise ValueError(
+                    "multi-process training needs batches divisible by the "
+                    "per-host device count (drop_last train loaders + a "
+                    "divisible batch size guarantee this): the exact "
+                    "partial-batch slice is prefix-based and the valid "
+                    "prefixes of a global batch are scattered per host"
+                )
             batch = shard_batch(batch, self.mesh)
             if self.cache_features:
                 cached = self._feature_cache.get(bid)
@@ -314,8 +322,15 @@ class ProbeTrainer:
         padded step's BN mean/var — and the running stats it saves — see
         the duplicates. In practice padding only triggers when
         ``batch_size % mesh-data-size != 0`` (train loaders drop the last
-        partial batch), which no protocol configuration does."""
-        n_data = self.mesh.shape["data"]
+        partial batch), which no protocol configuration does.
+
+        Multi-process: every host pads ITS equal-length loader shard to the
+        per-host row count (data-axis size / process count) — global rows
+        = local x processes stay divisible. The prefix-slice exactness
+        only holds single-process (the valid prefixes of a global batch
+        are scattered per host); train_epoch refuses partial batches in
+        multi-process mode instead of silently training on duplicates."""
+        n_data = self.mesh.shape["data"] // jax.process_count()
         sizes = {v.shape[0] for v in batch.values()}
         b = max(sizes)
         pad = (-b) % n_data
@@ -345,6 +360,13 @@ class ProbeTrainer:
             self.state.params, self.state.batch_stats, batch["image"],
             self.backbone.device_variables,
         )
+        if jax.process_count() > 1:
+            # the global pred is not fully addressable here: reassemble
+            # THIS host's rows (its devices hold exactly its loader shard,
+            # contiguous because make_mesh orders devices by process)
+            shards = sorted(pred.addressable_shards,
+                            key=lambda s: s.index[0].start or 0)
+            pred = np.concatenate([np.asarray(s.data) for s in shards])
         return pred[:b]
 
     def validate(self, loader, metric_fn, max_batches: int | None = None):

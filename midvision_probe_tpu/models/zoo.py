@@ -402,7 +402,10 @@ def _random_init(module, size: int, example_kw: dict | None = None) -> dict:
     # init on the CPU backend: flax init traces the full forward, and
     # compiling that on a (possibly remote) TPU just to draw random params
     # wastes minutes of compile time
-    cpu = jax.devices("cpu")[0]
+    # local_devices, not devices: in a multi-process run jax.devices() is
+    # the GLOBAL list, whose first CPU belongs to process 0 — init on a
+    # non-addressable device can't be fetched back on the other hosts
+    cpu = jax.local_devices(backend="cpu")[0]
     with jax.default_device(cpu):
         rng = jax.random.PRNGKey(0)
         dummy = jnp.zeros((1, size, size, 3), jnp.float32)

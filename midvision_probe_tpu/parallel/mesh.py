@@ -28,12 +28,19 @@ def data_sharding(mesh: Mesh, ndim: int = 4) -> NamedSharding:
 
 
 def shard_batch(batch, mesh: Mesh):
-    """Place a pytree of host arrays batch-sharded on the mesh."""
+    """Place a pytree of host arrays batch-sharded on the mesh.
+
+    Multi-process (pod) runs: each host holds only ITS loader shard
+    (``multihost.process_shard_args``), so the local arrays are assembled
+    into one global jax.Array via ``make_array_from_process_local_data`` —
+    ``device_put`` would require the same full batch on every host."""
 
     def put(x):
-        return jax.device_put(
-            x, NamedSharding(mesh, P("data", *([None] * (x.ndim - 1))))
-        )
+        sharding = NamedSharding(mesh, P("data", *([None] * (x.ndim - 1))))
+        if jax.process_count() > 1:
+            return jax.make_array_from_process_local_data(
+                sharding, np.asarray(x))
+        return jax.device_put(x, sharding)
 
     return jax.tree_util.tree_map(put, batch)
 

@@ -19,6 +19,7 @@ import logging
 import os
 
 import jax
+import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 log = logging.getLogger(__name__)
@@ -91,3 +92,29 @@ def make_global_batch(batch, mesh: Mesh):
         return jax.make_array_from_process_local_data(sharding, x)
 
     return jax.tree_util.tree_map(put, batch)
+
+
+def gather_metrics(metrics: dict) -> dict:
+    """Concatenate per-sample metric arrays across processes.
+
+    Each host's ``ProbeTrainer.validate`` covers only its loader shard;
+    this assembles the full-dataset arrays on EVERY host (the reference
+    aggregates rank-0-only, ``train_depth.py:664-692`` — here rank gating
+    applies only to the CSV write). Hosts may hold different row counts
+    (``_valid`` drops a shard's wrapped repeats), so arrays are padded to
+    the max length for the allgather and trimmed per process after."""
+    if jax.process_count() == 1:
+        return {k: np.asarray(v) for k, v in metrics.items()}
+    from jax.experimental import multihost_utils
+
+    out = {}
+    for k, v in metrics.items():
+        v = np.asarray(v)
+        ns = multihost_utils.process_allgather(
+            np.asarray([v.shape[0]])).reshape(-1)
+        m = int(ns.max())
+        padded = np.zeros((m,) + v.shape[1:], v.dtype)
+        padded[: v.shape[0]] = v
+        g = multihost_utils.process_allgather(padded)  # (P, m, ...)
+        out[k] = np.concatenate([g[p, : ns[p]] for p in range(g.shape[0])])
+    return out

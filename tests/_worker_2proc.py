@@ -58,8 +58,74 @@ def step(w, b):
 
 loss0, w1 = step(w0, batch)
 loss1, _ = step(w1, batch)
+
+# ---------------------------------------------------------------------------
+# Phase 2: the REAL probe engine, multi-process. Each host feeds only its
+# Loader shard; shard_batch assembles the global batch via
+# make_array_from_process_local_data; the jitted step's gradient mean
+# crosses the process boundary. Oracle: the runner re-runs the identical
+# fit single-process and compares the epoch losses + gathered metrics.
+# ---------------------------------------------------------------------------
+from midvision_probe_tpu.datasets.builder import Loader  # noqa: E402
+from midvision_probe_tpu.engine.probe_fit import ProbeTrainer  # noqa: E402
+from midvision_probe_tpu.models.probes import DepthHead  # noqa: E402
+from midvision_probe_tpu.models.zoo import build_vit_extractor  # noqa: E402
+from midvision_probe_tpu.ops.image import resize  # noqa: E402
+from midvision_probe_tpu.utils.losses import depth_loss  # noqa: E402
+
+backbone = build_vit_extractor("test_tiny_vit", output="dense")
+probe = DepthHead(feat_dim=backbone.feat_dim, head_type="linear",
+                  max_depth=10.0)
+
+
+def loss_fn(pred, b):
+    target = b["depth"]
+    pred = resize(pred, target.shape[1:3], mode="bilinear")
+    return depth_loss(pred, target, max_depth=10.0)
+
+
+class _DS:
+    """16 deterministic samples (identical on both hosts)."""
+
+    def __len__(self):
+        return 16
+
+    def __getitem__(self, i):
+        r = np.random.RandomState(100 + i)
+        return {"image": r.rand(32, 32, 3).astype(np.float32),
+                "depth": (r.rand(32, 32, 1) * 9 + 0.5).astype(np.float32)}
+
+
+trainer = ProbeTrainer(backbone=backbone, probe=probe, loss_fn=loss_fn,
+                       n_steps=4, warmup_steps=1.0, seed=0)
+shard = dict(num_shards=jax.process_count(), shard_index=jax.process_index())
+train_loader = Loader(_DS(), batch_size=4, shuffle=False, drop_last=True,
+                      **shard)
+trainer.init(next(iter(train_loader)))
+epoch_loss = trainer.train_epoch(train_loader)
+
+# eval over an odd-sized view (15 of the 16) so shard padding engages and
+# the _valid mask must drop exactly one wrapped repeat globally
+class _DS15(_DS):
+    def __len__(self):
+        return 15
+
+
+val_loader = Loader(_DS15(), batch_size=4, shuffle=False, **shard)
+from midvision_probe_tpu.parallel import multihost as mh  # noqa: E402
+
+metrics = trainer.validate(
+    val_loader,
+    lambda pred, b: {"mae": jnp.mean(jnp.abs(
+        resize(pred, b["depth"].shape[1:3], mode="bilinear") - b["depth"]),
+        axis=(1, 2, 3))},
+)
+gathered = mh.gather_metrics(metrics)
+
 result = {"rank": rank, "loss0": float(loss0), "loss1": float(loss1),
-          "process_count": jax.process_count()}
+          "process_count": jax.process_count(),
+          "epoch_loss": float(epoch_loss),
+          "mae_sorted": sorted(np.asarray(gathered["mae"]).tolist())}
 if rank == 0:
     with open(out_path, "w") as f:
         json.dump(result, f)

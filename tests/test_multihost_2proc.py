@@ -39,7 +39,7 @@ def test_two_process_distributed_matches_single_process(tmp_path):
     ]
     logs = []
     for p in procs:
-        stdout, _ = p.communicate(timeout=300)
+        stdout, _ = p.communicate(timeout=540)
         logs.append(stdout.decode())
     assert all(p.returncode == 0 for p in procs), "\n---\n".join(logs)
 
@@ -58,3 +58,59 @@ def test_two_process_distributed_matches_single_process(tmp_path):
 
     np.testing.assert_allclose(result["loss0"], loss0, rtol=1e-6)
     np.testing.assert_allclose(result["loss1"], loss1, rtol=1e-5)
+
+    # ---- phase 2 oracle: the REAL ProbeTrainer, single-process ----
+    # identical model/data/batching run in THIS process (8 virtual devices,
+    # conftest mesh); multi-process losses/metrics must match. The shard
+    # interleave reorders samples across the global batch, but every batch
+    # contains the same 8-sample set per step (16 samples / bs 4 / 2 shards
+    # feed global batches of 8), so the mean loss is order-invariant.
+    import jax.numpy as jnp
+
+    from midvision_probe_tpu.datasets.builder import Loader
+    from midvision_probe_tpu.engine.probe_fit import ProbeTrainer
+    from midvision_probe_tpu.models.probes import DepthHead
+    from midvision_probe_tpu.models.zoo import build_vit_extractor
+    from midvision_probe_tpu.ops.image import resize
+    from midvision_probe_tpu.parallel import multihost as mh
+    from midvision_probe_tpu.utils.losses import depth_loss
+
+    class _DS:
+        def __len__(self):
+            return 16
+
+        def __getitem__(self, i):
+            r = np.random.RandomState(100 + i)
+            return {"image": r.rand(32, 32, 3).astype(np.float32),
+                    "depth": (r.rand(32, 32, 1) * 9 + 0.5).astype(np.float32)}
+
+    class _DS15(_DS):
+        def __len__(self):
+            return 15
+
+    backbone = build_vit_extractor("test_tiny_vit", output="dense")
+    probe = DepthHead(feat_dim=backbone.feat_dim, head_type="linear",
+                      max_depth=10.0)
+
+    def loss_fn(pred, b):
+        return depth_loss(resize(pred, b["depth"].shape[1:3],
+                                 mode="bilinear"), b["depth"], max_depth=10.0)
+
+    trainer = ProbeTrainer(backbone=backbone, probe=probe, loss_fn=loss_fn,
+                           n_steps=4, warmup_steps=1.0, seed=0)
+    # single process: one loader over ALL samples, global batch 8 = the
+    # union of the two 4-row host batches in the distributed run
+    train_loader = Loader(_DS(), batch_size=8, shuffle=False, drop_last=True)
+    trainer.init(next(iter(train_loader)))
+    epoch_loss = trainer.train_epoch(train_loader)
+    np.testing.assert_allclose(result["epoch_loss"], epoch_loss, rtol=2e-5)
+
+    metrics = mh.gather_metrics(trainer.validate(
+        Loader(_DS15(), batch_size=8, shuffle=False),
+        lambda pred, b: {"mae": jnp.mean(jnp.abs(
+            resize(pred, b["depth"].shape[1:3], mode="bilinear")
+            - b["depth"]), axis=(1, 2, 3))},
+    ))
+    assert len(result["mae_sorted"]) == 15  # the wrapped repeat was dropped
+    np.testing.assert_allclose(result["mae_sorted"],
+                               sorted(metrics["mae"].tolist()), rtol=2e-5)
