@@ -93,11 +93,16 @@ def experiment_name(cfg: Config, task: str, backbone, probe_tag: str) -> str:
 
 
 def setup_experiment(cfg: Config, task: str, backbone, probe_tag: str):
+    import jax
+
     exp_name = experiment_name(cfg, task, backbone, probe_tag)
     exp_dir = os.path.join(cfg.get("output_dir", "result"), exp_name)
     os.makedirs(exp_dir, exist_ok=True)
     logger = setup_logger(exp_dir)
-    wandb = maybe_wandb(cfg)
+    # wandb on rank 0 only (reference: train_depth.py:547-554); other
+    # hosts get the no-op stub
+    wandb = maybe_wandb(cfg) if jax.process_index() == 0 else maybe_wandb(
+        None)
     return exp_name, exp_dir, logger, wandb
 
 
@@ -159,6 +164,8 @@ def flatten_metrics(global_metrics: dict, by_level: dict, prefix: str = ""
 
 
 def emit_csv(cfg: Config, path: str, exp_name: str, backbone, row: dict):
+    import jax
+
     meta = {
         "exp_name": exp_name,
         "checkpoint": backbone.checkpoint_name,
@@ -170,7 +177,11 @@ def emit_csv(cfg: Config, path: str, exp_name: str, backbone, row: dict):
         "note": cfg.get("note", ""),
     }
     meta.update(row)
-    CSVWriter(path).append(meta)
+    # one CSV row per experiment: rank 0 writes (every host computes the
+    # same global metrics via gather_metrics; reference: rank-0-only CSV,
+    # train_depth.py:806-829)
+    if jax.process_index() == 0:
+        CSVWriter(path).append(meta)
     return meta
 
 

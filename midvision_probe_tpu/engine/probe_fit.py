@@ -376,7 +376,14 @@ class ProbeTrainer:
         Rows the loader marks as shard-padding duplicates (``_valid`` —
         wrapped repeats that equalize multi-host shard lengths) are dropped
         so eval metrics match the reference's UNSHARDED test loader
-        (``train_depth.py:559``) instead of double-counting samples."""
+        (``train_depth.py:559``) instead of double-counting samples.
+
+        Multi-process: each host iterates its own loader shard (equal batch
+        counts, so the jitted eval steps stay lockstep), then the per-host
+        arrays are allgathered — every host returns FULL-dataset metrics,
+        same contract as single-process."""
+        from midvision_probe_tpu.parallel import multihost
+
         acc: dict[str, list] = {}
         for i, batch in enumerate(loader):
             if max_batches is not None and i >= max_batches:
@@ -389,7 +396,8 @@ class ProbeTrainer:
                 if valid is not None and v.shape[0] == valid.shape[0]:
                     v = v[valid]
                 acc.setdefault(k, []).append(v)
-        return {k: np.concatenate(v) for k, v in acc.items()}
+        return multihost.gather_metrics(
+            {k: np.concatenate(v) for k, v in acc.items()})
 
 
 def _to_jnp(batch: dict) -> dict:

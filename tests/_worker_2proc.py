@@ -112,15 +112,15 @@ class _DS15(_DS):
 
 
 val_loader = Loader(_DS15(), batch_size=4, shuffle=False, **shard)
-from midvision_probe_tpu.parallel import multihost as mh  # noqa: E402
 
-metrics = trainer.validate(
+# validate gathers across processes internally: every host returns the
+# FULL-dataset metrics (wrapped shard-padding repeat dropped)
+gathered = trainer.validate(
     val_loader,
     lambda pred, b: {"mae": jnp.mean(jnp.abs(
         resize(pred, b["depth"].shape[1:3], mode="bilinear") - b["depth"]),
         axis=(1, 2, 3))},
 )
-gathered = mh.gather_metrics(metrics)
 
 result = {"rank": rank, "loss0": float(loss0), "loss1": float(loss1),
           "process_count": jax.process_count(),
