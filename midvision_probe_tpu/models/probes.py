@@ -164,8 +164,13 @@ class ResidualConvUnit(nn.Module):
             h = nn.relu(h)
             return h + x
         assert self.input_up == 1
-        h = nn.relu(x)
-        h = _conv(f, 3, dtype=self.dtype, name="conv1")(h)
+        # CNN branch residual is relu(x), NOT x: the reference's (and
+        # original MiDaS') ``nn.ReLU(inplace=True)`` mutates x in
+        # ``out = self.relu(x)``, so ``out + x`` adds the rectified input
+        # (probes.py:291-306). Runtime behavior, so replicated — found by
+        # the reference-as-oracle test (tests/test_reference_oracle.py).
+        x = nn.relu(x)
+        h = _conv(f, 3, dtype=self.dtype, name="conv1")(x)
         h = nn.relu(h)
         h = _conv(f, 3, dtype=self.dtype, name="conv2")(h)
         return h + x

@@ -48,8 +48,10 @@ class _TorchRCU(nn.Module):
     def forward(self, x):
         if self.is_transformer:
             return self.conv(x) + x
-        out = F.relu(x)
-        out = self.conv1(out)
+        # reference inplace ReLU mutates x: the residual is relu(x)
+        # (probes.py:291-306; verified in test_reference_oracle.py)
+        x = F.relu(x)
+        out = self.conv1(x)
         out = F.relu(out)
         out = self.conv2(out)
         return out + x
