@@ -370,3 +370,197 @@ def test_transformations_match_reference(rng):
     ref = ref_tf.so3_rotation_angle(_t(R))
     got = tf.so3_rotation_angle(jnp.asarray(R))
     np.testing.assert_allclose(np.asarray(got), ref.numpy(), rtol=1e-4)
+
+
+# --------------------------------------------------------------------------
+# shared model utils (reference evals/models/utils.py — the uniform
+# feature contract every wrapper uses)
+# --------------------------------------------------------------------------
+def test_tokens_to_output_matches_reference(rng):
+    from evals.models import utils as ref_utils
+
+    from midvision_probe_tpu.models.feature_extractor import tokens_to_output
+
+    B, h, w, C = 2, 3, 4, 8
+    dense = rng.randn(B, h * w, C).astype(np.float32)
+    cls = rng.randn(B, C).astype(np.float32)
+    for mode in ("cls", "gap", "dense", "dense-cls"):
+        ref = ref_utils.tokens_to_output(mode, _t(dense), _t(cls), (h, w))
+        got = np.asarray(tokens_to_output(mode, jnp.asarray(dense),
+                                          jnp.asarray(cls), (h, w)))
+        if mode in ("dense", "dense-cls"):
+            got = got.transpose(0, 3, 1, 2)
+        np.testing.assert_allclose(got, ref.numpy(), rtol=1e-6,
+                                   err_msg=mode)
+
+
+def test_resize_pos_embed_matches_reference(rng):
+    from evals.models import utils as ref_utils
+
+    from midvision_probe_tpu.models.vit import resize_pos_embed
+
+    for has_cls in (True, False):
+        n = 7 * 7 + (1 if has_cls else 0)
+        pos = rng.randn(n, 16).astype(np.float32)
+        ref = ref_utils.resize_pos_embed(_t(pos), (11, 9),
+                                         has_cls_token=has_cls).numpy()
+        got = np.asarray(resize_pos_embed(jnp.asarray(pos), (11, 9),
+                                          has_cls_token=has_cls))
+        np.testing.assert_allclose(got, ref, atol=2e-5, rtol=1e-4,
+                                   err_msg=f"has_cls={has_cls}")
+
+
+def test_sincos_pos_embed_matches_reference():
+    from evals.models import utils as ref_utils
+
+    from midvision_probe_tpu.models.vit import get_2d_sincos_pos_embed
+
+    for add_cls in (False, True):
+        ref = ref_utils.get_2d_sincos_pos_embed(32, (5, 7),
+                                                add_cls_token=add_cls)
+        got = np.asarray(get_2d_sincos_pos_embed(32, (5, 7),
+                                                 add_cls_token=add_cls))
+        np.testing.assert_allclose(got, ref, atol=1e-6)
+
+
+def test_center_padding_matches_reference(rng):
+    from evals.models import utils as ref_utils
+
+    from midvision_probe_tpu.ops.image import center_padding
+
+    x = rng.randn(2, 3, 29, 34).astype(np.float32)
+    ref = ref_utils.center_padding(_t(x), 16).numpy()
+    got = np.asarray(center_padding(jnp.asarray(x.transpose(0, 2, 3, 1)), 16))
+    np.testing.assert_allclose(got.transpose(0, 3, 1, 2), ref, rtol=1e-6)
+
+
+# --------------------------------------------------------------------------
+# correspondence utilities (reference evals/utils/correspondence.py; faiss
+# itself is stubbed — only the pure-torch functions run)
+# --------------------------------------------------------------------------
+def _import_ref_correspondence():
+    for name in ("faiss", "faiss.contrib", "faiss.contrib.torch_utils"):
+        sys.modules.setdefault(name, types.ModuleType(name))
+    # the module creates a GPU handle at import time (correspondence.py:11)
+    sys.modules["faiss"].StandardGpuResources = lambda: None
+    sys.modules["faiss"].contrib = sys.modules["faiss.contrib"]
+    from evals.utils import correspondence as ref_corr
+    return ref_corr
+
+
+def test_correspondence_utils_match_reference(rng):
+    ref_corr = _import_ref_correspondence()
+
+    from midvision_probe_tpu.ops.matching import calculate_ratio_test
+    from midvision_probe_tpu.utils import correspondence as corr
+
+    # Lowe ratio-test weights
+    d = np.sort(rng.rand(3, 17, 2).astype(np.float32), axis=-1)
+    np.testing.assert_allclose(
+        np.asarray(calculate_ratio_test(jnp.asarray(d))),
+        ref_corr.calculate_ratio_test(_t(d)).numpy(), rtol=1e-6)
+
+    # argmax_2d coordinate convention (x, y)
+    m = rng.randn(2, 5, 9, 13).astype(np.float32)
+    np.testing.assert_array_equal(
+        np.asarray(corr.argmax_2d(jnp.asarray(m))),
+        ref_corr.argmax_2d(_t(m)).numpy())
+
+    # depth unprojection + reprojection round trip
+    K = np.asarray([[40.0, 0, 16], [0, 42.0, 12], [0, 0, 1]], np.float32)
+    depth = (rng.rand(24, 32).astype(np.float32) * 3 + 0.5)
+    ref_pts = ref_corr.grid_to_pointcloud(
+        _t(np.linalg.inv(K)), _t(depth[None])).numpy()
+    got_pts = np.asarray(corr.grid_to_pointcloud(
+        jnp.asarray(np.linalg.inv(K)), jnp.asarray(depth)))
+    np.testing.assert_allclose(got_pts, ref_pts, rtol=1e-4, atol=1e-5)
+
+    uv_ref = ref_corr.project_3dto2d(_t(ref_pts), _t(K)).numpy()
+    uv_got = np.asarray(corr.project_3dto2d(jnp.asarray(got_pts),
+                                            jnp.asarray(K)))
+    np.testing.assert_allclose(uv_got, uv_ref, rtol=1e-4, atol=1e-4)
+
+    # grid_sample at projected points (align_corners=False path)
+    feats = rng.randn(8, 24, 32).astype(np.float32)  # (C, h, w) for torch
+    ref_f = ref_corr.sample_pointcloud_features(
+        _t(feats), _t(K), _t(ref_pts.copy()), (24, 32)).numpy()
+    got_f = np.asarray(corr.sample_pointcloud_features(
+        jnp.asarray(feats.transpose(1, 2, 0)), jnp.asarray(K),
+        jnp.asarray(got_pts), (24, 32)))
+    np.testing.assert_allclose(got_f, ref_f, atol=1e-4, rtol=1e-3)
+
+
+# --------------------------------------------------------------------------
+# MaskCut spectral pipeline (reference evals/models/maskcut_processor.py;
+# viz/IO deps stubbed, sklearn+scipy run for real)
+# --------------------------------------------------------------------------
+def _import_ref_maskcut():
+    for name in ("torchvision", "torchvision.transforms",
+                 "torchvision.transforms.functional", "pycocotools",
+                 "pycocotools.mask", "seaborn", "wandb", "pydensecrf",
+                 "pydensecrf.densecrf", "pydensecrf.utils"):
+        mod = types.ModuleType(name)
+        mod.__path__ = []  # mark as package so submodule imports resolve
+        sys.modules.setdefault(name, mod)
+    sys.modules["torchvision"].transforms = sys.modules[
+        "torchvision.transforms"]
+    sys.modules["torchvision.transforms"].functional = sys.modules[
+        "torchvision.transforms.functional"]
+    sys.modules["pycocotools"].mask = sys.modules["pycocotools.mask"]
+    sys.modules["pydensecrf"].densecrf = sys.modules["pydensecrf.densecrf"]
+    sys.modules["pydensecrf"].utils = sys.modules["pydensecrf.utils"]
+    for attr in ("unary_from_softmax", "create_pairwise_bilateral",
+                 "create_pairwise_gaussian"):
+        setattr(sys.modules["pydensecrf.utils"], attr, lambda *a, **k: None)
+    sys.modules["pydensecrf.densecrf"].DenseCRF2D = lambda *a, **k: None
+    from evals.models import maskcut_processor as ref_mc
+    return ref_mc
+
+
+def test_maskcut_spectral_matches_reference(rng):
+    ref_mc = _import_ref_maskcut()
+
+    from midvision_probe_tpu.models.maskcut import MaskCutProcessor
+
+    ref = ref_mc.MaskCutProcessor.__new__(ref_mc.MaskCutProcessor)
+    ours = MaskCutProcessor(feature_extractor_fn=lambda x: x)
+
+    # two well-separated patch populations -> a bimodal affinity histogram,
+    # so the KMeans-tau path is deterministic in both implementations
+    base = rng.randn(16, 1).astype(np.float32)
+    f = np.concatenate([base + 0.05 * rng.randn(16, 18).astype(np.float32),
+                        -base + 0.05 * rng.randn(16, 18).astype(np.float32)],
+                       axis=1)  # (C=16, N=36)
+    t = torch.from_numpy(f)
+
+    np.random.seed(0)
+    A_ref, D_ref = ref.get_affinity_matrix(t, tau=0.15, is_wandb=False)
+    np.random.seed(0)
+    A_got, D_got = ours.get_affinity_matrix(f, tau=0.15)
+    np.testing.assert_allclose(A_got, A_ref, atol=1e-6)
+    np.testing.assert_allclose(D_got, D_ref, atol=1e-6)
+
+    eig_ref, vec_ref = ref.second_smallest_eigenvector(A_ref, D_ref)
+    eig_got, vec_got = ours.second_smallest_eigenvector(A_got, D_got)
+    # generalized eigenvectors are sign-ambiguous
+    s = np.sign(np.dot(vec_ref, vec_got)) or 1.0
+    np.testing.assert_allclose(s * vec_got, vec_ref, atol=1e-6)
+
+    bip_ref = ref.get_salient_areas(vec_ref)
+    bip_got = ours.get_salient_areas(s * vec_got)
+    np.testing.assert_array_equal(bip_got, bip_ref)
+
+
+def test_maskcut_iou_matches_reference_metric(rng):
+    """The processor's IoU mask filter (maskcut_processor.py imports
+    evals.utils.metric) vs our _iou."""
+    _import_ref_maskcut()
+    from evals.utils import metric as ref_metric
+
+    from midvision_probe_tpu.models.maskcut import _iou
+
+    a = (rng.rand(20, 20) > 0.5)
+    b = (rng.rand(20, 20) > 0.5)
+    np.testing.assert_allclose(_iou(a, b),
+                               float(ref_metric.IoU(_t(a), _t(b))),
+                               rtol=1e-6)
