@@ -564,3 +564,99 @@ def test_maskcut_iou_matches_reference_metric(rng):
     np.testing.assert_allclose(_iou(a, b),
                                float(ref_metric.IoU(_t(a), _t(b))),
                                rtol=1e-6)
+
+
+# --------------------------------------------------------------------------
+# dataset utilities (reference evals/datasets/utils.py; torchvision/
+# albumentations stubbed — only the pure numpy/torch geometry runs)
+# --------------------------------------------------------------------------
+def _import_ref_dataset_utils():
+    for name in ("albumentations", "torchvision", "torchvision.transforms",
+                 "torchvision.transforms.functional"):
+        mod = types.ModuleType(name)
+        mod.__path__ = []
+        sys.modules.setdefault(name, mod)
+    sys.modules["torchvision"].transforms = sys.modules[
+        "torchvision.transforms"]
+    sys.modules["torchvision.transforms"].functional = sys.modules[
+        "torchvision.transforms.functional"]
+    from evals.datasets import utils as ref_du
+    return ref_du
+
+
+def test_compute_normal_matches_reference(rng):
+    """NAVI trains surface normals DERIVED from depth via cross products
+    (navi.py + datasets/utils.py:236-275) — the geometry must match."""
+    ref_du = _import_ref_dataset_utils()
+
+    from midvision_probe_tpu.datasets.navi_utils import compute_normal
+
+    depth = (rng.rand(20, 26, 1).astype(np.float32) * 2 + 0.5)
+    depth[rng.rand(20, 26) < 0.1, 0] = 0.0  # holes
+    focal = 400.0
+    # reference is channels-first (1, H, W) -> (3, H, W); ours (H, W, 1).
+    # COPY: the reference mutates its input in place (holes -> 1e6,
+    # utils.py:252) and torch.from_numpy shares the numpy buffer.
+    ref = ref_du.compute_normal(_t(depth.transpose(2, 0, 1).copy()), focal)
+    got = np.asarray(compute_normal(depth, focal))
+    ref = ref.numpy().transpose(1, 2, 0)
+    # normals TOUCHING a hole are numerically meaningless in the protocol:
+    # holes become depth 1e6 (utils.py:252), so adjacent cross products are
+    # ~1e12-scale cancellations whose direction is f32-rounding noise in
+    # BOTH implementations. Compare the well-conditioned pixels; the rest
+    # must still be unit-or-zero vectors.
+    hole = (depth[..., 0] <= 0)
+    import scipy.ndimage as ndi
+    chaotic = ndi.binary_dilation(hole, np.ones((3, 3), bool))
+    np.testing.assert_allclose(got[~chaotic], ref[~chaotic],
+                               atol=1e-4, rtol=1e-3)
+    norms = np.linalg.norm(got[chaotic], axis=-1)
+    assert np.all((norms < 1e-6) | (np.abs(norms - 1) < 1e-4))
+
+
+def test_bbox_crop_matches_reference(rng):
+    """NAVI square bbox crop around valid depth (datasets/utils.py:300-329)."""
+    ref_du = _import_ref_dataset_utils()
+
+    from midvision_probe_tpu.datasets.navi_utils import bbox_crop
+
+    h, w = 40, 56
+    image = rng.randint(0, 255, (h, w, 3)).astype(np.uint8)
+    depth = np.zeros((h, w, 1), np.float32)
+    depth[12:30, 20:44, 0] = rng.rand(18, 24) + 0.5  # object region
+    xyz = rng.randn(h, w, 3).astype(np.float32)
+
+    # reference operates channels-first
+    ref_img, ref_depth, ref_xyz = ref_du.bbox_crop(
+        _t(image.transpose(2, 0, 1)), _t(depth.transpose(2, 0, 1)),
+        _t(xyz.transpose(2, 0, 1)))
+    got_img, got_depth, got_xyz = bbox_crop(image, depth, xyz)
+    np.testing.assert_array_equal(np.asarray(got_img),
+                                  ref_img.numpy().transpose(1, 2, 0))
+    np.testing.assert_allclose(np.asarray(got_depth),
+                               ref_depth.numpy().transpose(1, 2, 0))
+    np.testing.assert_allclose(np.asarray(got_xyz),
+                               ref_xyz.numpy().transpose(1, 2, 0))
+
+
+def test_quaternion_and_camera_matrices_match_reference(rng):
+    ref_du = _import_ref_dataset_utils()
+
+    from midvision_probe_tpu.datasets import navi_utils
+
+    q = rng.randn(4).astype(np.float32)
+    q = q / np.linalg.norm(q)
+    ref_R = ref_du.quaternion_to_rotation_matrix(_t(q)).numpy()
+    got_R = np.asarray(navi_utils.quaternion_to_rotation_matrix(q))
+    np.testing.assert_allclose(got_R, ref_R, atol=1e-6)
+
+    ann = {
+        "camera": {
+            "q": q.tolist(),
+            "t": rng.randn(3).astype(np.float32).tolist(),
+        }
+    }
+    ref_Rt = ref_du.camera_matrices_from_annotation(ann)
+    got_Rt = navi_utils.camera_matrices_from_annotation(ann)
+    np.testing.assert_allclose(np.asarray(got_Rt),
+                               np.asarray(ref_Rt), atol=1e-6)
