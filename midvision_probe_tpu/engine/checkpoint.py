@@ -27,12 +27,11 @@ def _manager(ckpt_dir: str) -> ocp.CheckpointManager:
 
 
 def save_checkpoint(ckpt_dir: str, state: TrainState, step: int) -> None:
-    # the TrainState is fully replicated, so one writer suffices: rank 0,
-    # like the reference's rank-0 torch.save (train_depth.py:832-844).
-    # restore assumes ckpt_dir is on a shared filesystem in pod runs —
-    # standard for cluster checkpoint dirs.
-    if jax.process_index() != 0:
-        return
+    # Multi-process: EVERY rank must call (orbax coordinates internally —
+    # barriers + primary-host write; a rank-0-only call would deadlock the
+    # sync). ckpt_dir is assumed shared across hosts, standard for cluster
+    # checkpoint dirs. Reference analog: rank-0 torch.save
+    # (train_depth.py:832-844).
     mgr = _manager(ckpt_dir)
     host_state = jax.tree_util.tree_map(np.asarray, state._asdict())
     mgr.save(step, args=ocp.args.StandardSave(host_state))

@@ -122,6 +122,22 @@ gathered = trainer.validate(
         axis=(1, 2, 3))},
 )
 
+# orbax save/restore must work with EVERY rank participating (orbax
+# barriers internally; a rank-0-only call would deadlock) — shared tmpdir
+from midvision_probe_tpu.engine.checkpoint import (  # noqa: E402
+    restore_checkpoint,
+    save_checkpoint,
+)
+
+ckpt_dir = os.path.join(os.path.dirname(out_path), "ckpt_2proc")
+save_checkpoint(ckpt_dir, trainer.state, 1)
+restored, step = restore_checkpoint(ckpt_dir, trainer.state)
+assert step == 1
+import jax.tree_util as jtu  # noqa: E402
+
+jtu.tree_map(lambda a, b: np.testing.assert_array_equal(
+    np.asarray(a), np.asarray(b)), restored.params, trainer.state.params)
+
 result = {"rank": rank, "loss0": float(loss0), "loss1": float(loss1),
           "process_count": jax.process_count(),
           "epoch_loss": float(epoch_loss),
