@@ -38,3 +38,30 @@ def test_sweep_dry_run(capsys):
     assert ret == 0
     out = capsys.readouterr().out
     assert "train_depth.py" in out and "backbone=dino_b16" in out
+
+
+def test_2afc_metrics_match_sklearn(rng):
+    """The reference computes 2AFC metrics with sklearn
+    (evaluate_model_percepture.py:51-64); ours re-implements them — check
+    against the genuine sklearn functions, including an imbalanced case."""
+    from sklearn.metrics import (
+        accuracy_score,
+        f1_score,
+        precision_score,
+        recall_score,
+    )
+
+    from evaluate_model_percepture import compute_metrics
+
+    gt = (rng.rand(257) > 0.7).astype(int)
+    pred = (rng.rand(257) > 0.4).astype(int)
+    got = compute_metrics(gt, pred)
+    assert got["accuracy"] == accuracy_score(gt, pred)
+    np.testing.assert_allclose(got["precision"], precision_score(gt, pred))
+    np.testing.assert_allclose(got["recall"], recall_score(gt, pred))
+    np.testing.assert_allclose(got["f1_score"], f1_score(gt, pred))
+    # degenerate all-negative predictions: sklearn zero_division=0 default
+    pred0 = np.zeros(257, int)
+    got0 = compute_metrics(gt, pred0)
+    assert got0["precision"] == precision_score(gt, pred0, zero_division=0)
+    assert got0["recall"] == recall_score(gt, pred0, zero_division=0)
