@@ -660,3 +660,56 @@ def test_quaternion_and_camera_matrices_match_reference(rng):
     got_Rt = navi_utils.camera_matrices_from_annotation(ann)
     np.testing.assert_allclose(np.asarray(got_Rt),
                                np.asarray(ref_Rt), atol=1e-6)
+
+
+def test_maskcut_forward_matches_reference(rng, monkeypatch):
+    """The full iterative N-mask extraction loop (maskcut_processor.py:
+    215-296): per-round KMeans-tau affinity, eigh bipartition, seed and
+    corner-reversal heuristics, connected-component box, IoU/area
+    rejection, and the painting-based feature masking between rounds."""
+    ref_mc = _import_ref_maskcut()
+
+    from midvision_probe_tpu.models.maskcut import MaskCutProcessor
+
+    # reference runs on .cuda() tensors and logs round 0 to wandb
+    monkeypatch.setattr(torch.Tensor, "cuda", lambda self: self,
+                        raising=False)
+    sys.modules["wandb"].log = lambda *a, **k: None
+    sys.modules["wandb"].Image = lambda *a, **k: None
+    sys.modules["seaborn"].histplot = lambda *a, **k: None
+
+    ref = ref_mc.MaskCutProcessor.__new__(ref_mc.MaskCutProcessor)
+    ref.tau = 0.15
+    ours = MaskCutProcessor(feature_extractor_fn=lambda x: x, tau=0.15)
+
+    # a spatially-coherent two-object scene on a square 12x12 patch grid:
+    # object patches share one feature direction, background another
+    g = 12
+    obj = np.zeros((g, g), bool)
+    obj[2:6, 2:7] = True    # object 1
+    obj[7:11, 8:11] = True  # object 2
+    d1 = rng.randn(16).astype(np.float32)
+    d0 = rng.randn(16).astype(np.float32)
+    f = np.where(obj.reshape(-1)[None], d1[:, None], d0[:, None])
+    f = (f + 0.05 * rng.randn(16, g * g)).astype(np.float32)  # (C, N)
+
+    dims = (g, g)
+    scales = (16, 16)
+    init_size = (g * 16, g * 16)
+
+    np.random.seed(3)
+    with torch.no_grad():
+        r_seed, r_bips, r_eigs = ref.maskcut_forward(
+            torch.from_numpy(f.copy()), list(dims), scales, init_size, 2)
+    np.random.seed(3)
+    o_seed, o_bips, o_eigs = ours.maskcut_forward(
+        f.copy(), dims, scales, init_size, 2)
+
+    assert o_seed == int(r_seed)
+    assert len(o_bips) == len(r_bips) == 2
+    for got, want in zip(o_bips, r_bips):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-6)
+    for got, want in zip(o_eigs, r_eigs):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-5)
