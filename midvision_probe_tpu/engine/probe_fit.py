@@ -353,6 +353,9 @@ class ProbeTrainer:
 
             self._eval_step = jax.jit(step)
         batch = _to_jnp(batch)
+        # shard-padding metadata, not a model input (callers outside
+        # validate() may hand loader batches straight in)
+        batch.pop("_valid", None)
         b = batch["image"].shape[0]
         batch, _ = self._pad(batch)
         batch = shard_batch(batch, self.mesh)
@@ -393,7 +396,17 @@ class ProbeTrainer:
             metrics = metric_fn(pred, _to_jnp(batch))
             for k, v in metrics.items():
                 v = np.asarray(v).reshape(-1)
-                if valid is not None and v.shape[0] == valid.shape[0]:
+                if valid is not None:
+                    # loud contract: per-sample (B,) metrics only — a
+                    # silent pass-through would keep padded duplicates in
+                    # one key while dropping them from another
+                    if v.shape[0] != valid.shape[0]:
+                        raise ValueError(
+                            f"metric {k!r} has {v.shape[0]} rows but the "
+                            f"batch has {valid.shape[0]} samples; validate "
+                            "expects per-sample (B,) metrics so shard-"
+                            "padding duplicates can be dropped"
+                        )
                     v = v[valid]
                 acc.setdefault(k, []).append(v)
         return multihost.gather_metrics(

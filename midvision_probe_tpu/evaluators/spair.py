@@ -41,16 +41,18 @@ def patch_masks(segs, patch_size: int = 16, grid_hw=None):
     if grid_hw is None:
         grid_hw = (s // patch_size, s // patch_size)
     h, w = grid_hw
-    if s % h == 0 and s % w == 0 and s // h == s // w:
-        patch = s // h
-        # non-divisible patch sizes (e.g. p=14 at image_size 800): the
-        # patch embed's VALID-stride conv drops the right/bottom remainder
-        # pixels, so the mask grid crops identically to stay aligned
+    if (h, w) == (s // patch_size, s // patch_size):
+        # the grid comes from a VALID-stride conv over THIS image (true
+        # for every non-fixed-input backbone): exact patch pooling. For
+        # non-divisible patch sizes (e.g. p=14 at image_size 800 -> grid
+        # 57) the conv drops the right/bottom remainder pixels, so the
+        # mask crops identically to stay aligned.
+        patch = patch_size
         segs = segs[:, : h * patch, : w * patch]
         pooled = segs.reshape(b, h, patch, w, patch).mean(axis=(2, 4))
         cell_area = float(patch * patch)
     else:
-        # fixed-input backbones: the image was resized before patching, so
+        # fixed-input backbones: the image was RESIZED before patching, so
         # cell boundaries don't land on pixel multiples — area-average
         pooled = jax.image.resize(segs.astype(jnp.float32), (b, h, w),
                                   method="linear", antialias=True)

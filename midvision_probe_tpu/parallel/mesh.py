@@ -33,16 +33,11 @@ def shard_batch(batch, mesh: Mesh):
     Multi-process (pod) runs: each host holds only ITS loader shard
     (``multihost.process_shard_args``), so the local arrays are assembled
     into one global jax.Array via ``make_array_from_process_local_data`` —
-    ``device_put`` would require the same full batch on every host."""
+    ``device_put`` would require the same full batch on every host. One
+    implementation lives in ``multihost.make_global_batch``."""
+    from midvision_probe_tpu.parallel import multihost
 
-    def put(x):
-        sharding = NamedSharding(mesh, P("data", *([None] * (x.ndim - 1))))
-        if jax.process_count() > 1:
-            return jax.make_array_from_process_local_data(
-                sharding, np.asarray(x))
-        return jax.device_put(x, sharding)
-
-    return jax.tree_util.tree_map(put, batch)
+    return multihost.make_global_batch(batch, mesh)
 
 
 def replicate(tree, mesh: Mesh):

@@ -89,7 +89,7 @@ def make_global_batch(batch, mesh: Mesh):
         sharding = NamedSharding(mesh, P("data", *([None] * (x.ndim - 1))))
         if jax.process_count() == 1:
             return jax.device_put(x, sharding)
-        return jax.make_array_from_process_local_data(sharding, x)
+        return jax.make_array_from_process_local_data(sharding, np.asarray(x))
 
     return jax.tree_util.tree_map(put, batch)
 
@@ -107,14 +107,44 @@ def gather_metrics(metrics: dict) -> dict:
         return {k: np.asarray(v) for k, v in metrics.items()}
     from jax.experimental import multihost_utils
 
+    # every key of one validate call has the same per-host row count, so
+    # ONE length gather serves the whole dict (collectives are host-level
+    # round-trips; ~30 keys x 2 validates would otherwise pay 4x)
+    lens = {np.asarray(v).shape[0] for v in metrics.values()}
+    assert len(lens) <= 1, f"per-key row counts differ: {lens}"
+    n_local = lens.pop() if lens else 0
+    ns = multihost_utils.process_allgather(np.asarray([n_local])).reshape(-1)
+    m = int(ns.max())
+
     out = {}
     for k, v in metrics.items():
         v = np.asarray(v)
-        ns = multihost_utils.process_allgather(
-            np.asarray([v.shape[0]])).reshape(-1)
-        m = int(ns.max())
         padded = np.zeros((m,) + v.shape[1:], v.dtype)
         padded[: v.shape[0]] = v
         g = multihost_utils.process_allgather(padded)  # (P, m, ...)
         out[k] = np.concatenate([g[p, : ns[p]] for p in range(g.shape[0])])
+    return out
+
+
+def gather_rows(rows: list, keys: tuple) -> list:
+    """Allgather lists of flat numeric dicts (per-segment metric rows)
+    across processes. ``keys`` fixes the schema so hosts with EMPTY row
+    lists still participate with a (0, len(keys)) array. Single-process:
+    identity."""
+    if jax.process_count() == 1:
+        return rows
+    from jax.experimental import multihost_utils
+
+    arr = np.asarray([[float(r[k]) for k in keys] for r in rows],
+                     np.float64).reshape(len(rows), len(keys))
+    ns = multihost_utils.process_allgather(
+        np.asarray([arr.shape[0]])).reshape(-1)
+    m = int(ns.max())
+    padded = np.zeros((m, len(keys)), np.float64)
+    padded[: arr.shape[0]] = arr
+    g = multihost_utils.process_allgather(padded)  # (P, m, K)
+    out = []
+    for p in range(g.shape[0]):
+        for row in g[p, : ns[p]]:
+            out.append(dict(zip(keys, row.tolist())))
     return out

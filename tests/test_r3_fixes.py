@@ -261,3 +261,34 @@ def test_validate_drops_shard_padding_rows():
 
     out = _T().validate(_Loader(), lambda pred, batch: {"m": pred})
     assert out["m"].tolist() == [0.0, 1.0]
+
+
+def test_validate_rejects_non_per_sample_metrics_under_padding():
+    """With a _valid mask present, a metric whose flattened length isn't B
+    must fail loudly — silently keeping padded duplicates in one key while
+    dropping them from another would mix sample sets."""
+    import pytest
+
+    from midvision_probe_tpu.engine.probe_fit import ProbeTrainer
+
+    class _Loader:
+        def __iter__(self):
+            yield {"image": np.zeros((3, 4, 4, 3), np.float32),
+                   "_valid": np.array([True, True, False])}
+
+    class _T(ProbeTrainer):
+        def __init__(self):
+            pass
+
+        def predict(self, batch):
+            return np.zeros((3, 2), np.float32)
+
+    with pytest.raises(ValueError, match="per-sample"):
+        _T().validate(_Loader(), lambda pred, b: {"kp": pred})
+
+
+def test_gather_rows_single_process_identity():
+    from midvision_probe_tpu.parallel.multihost import gather_rows
+
+    rows = [{"a": 1.0, "b": 2.0}]
+    assert gather_rows(rows, ("a", "b")) is rows

@@ -253,3 +253,20 @@ def test_spair_mask_feats_fixed_input_backbone(spair_root):
         fixed_input_fn, _One(), batch_pairs=1, image_size=64,
         mask_feats=True, patch_size=model.patch_size)
     assert np.isfinite(recall)
+
+
+def test_patch_masks_valid_stride_alignment_nondivisible_grid():
+    """p=7 at a 30px image -> grid 4 with 30 % 4 != 0: the exact-pooling
+    path must still run (cells = 7px blocks over the cropped 28px the
+    VALID-stride conv embedded), not the area-resize fallback — resize
+    cells would span ~7.5px and drift off the feature grid."""
+    import jax.numpy as jnp
+
+    from midvision_probe_tpu.evaluators.spair import patch_masks
+
+    seg = np.zeros((1, 30, 30), np.float32)
+    seg[0, :14, :14] = 1.0  # exactly the top-left 2x2 block of 7px patches
+    m = np.asarray(patch_masks(jnp.asarray(seg), patch_size=7))
+    assert m.shape == (1, 4, 4)
+    assert m[0, :2, :2].all()
+    assert not m[0, 2:, :].any() and not m[0, :, 2:].any()

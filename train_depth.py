@@ -125,10 +125,17 @@ def run(cfg):
     # dumps (reference train_depth.py:323-355, 443-459)
     seg_rows = []
     for i, batch in enumerate(test_loader):
+        # drop multi-host shard-padding repeats (wrapped duplicates) so
+        # per-segment stats count each sample once, like validate()
+        valid = np.asarray(batch.pop("_valid", [])).astype(bool)
         has_seg = "segmentation" in batch
         if not has_seg and not (render_images and i < 6):
             break
         pred_r = np.asarray(predict_resized(batch))
+        if valid.size:
+            batch = {k: (np.asarray(v)[valid] if hasattr(v, "shape") else v)
+                     for k, v in batch.items()}
+            pred_r = pred_r[valid]
         if has_seg:
             seg_rows += segment_metrics_depth(
                 pred_r, batch["depth"], batch["segmentation"]
@@ -140,7 +147,16 @@ def run(cfg):
                 save_dir=os.path.join(exp_dir, "val_images"),
                 is_navi=is_navi,
             )
-    if seg_rows:
+    # multi-host: assemble the full-dataset rows on every host, write the
+    # scatter once (rank 0) — qualitative PNG dumps above stay per-host
+    # (each host renders its own shard into the shared exp_dir)
+    import jax
+
+    from midvision_probe_tpu.parallel import multihost
+
+    seg_rows = multihost.gather_rows(
+        seg_rows, ("segment_id", "image_idx", "area", "d1_ratio"))
+    if seg_rows and jax.process_index() == 0:
         plot = plot_segment_area_vs_d1(
             seg_rows, output_dir=os.path.join(exp_dir, "plots"))
         logger.info("segment-area scatter: %s (%d segments)",

@@ -109,15 +109,33 @@ def run(cfg):
             save_dir=os.path.join(exp_dir, "val_images"), task="snorm",
         )
 
-    # per-segment stats over the FULL validation set (metrics.py:323-355)
+    # per-segment stats over the FULL validation set (metrics.py:539-562)
     seg_rows = []
     for batch in test_loader:
+        # drop multi-host shard-padding repeats, like validate()
+        valid = np.asarray(batch.pop("_valid", [])).astype(bool)
         if "segmentation" not in batch:
             break
-        seg_rows += segment_metrics_snorm(
-            np.asarray(predict_resized(batch)), batch["snorm"],
-            batch["segmentation"]
-        )
+        pred_r = np.asarray(predict_resized(batch))
+        snorm, seg = batch["snorm"], batch["segmentation"]
+        if valid.size:
+            pred_r, snorm, seg = (pred_r[valid], np.asarray(snorm)[valid],
+                                  np.asarray(seg)[valid])
+        seg_rows += segment_metrics_snorm(pred_r, snorm, seg)
+
+    import jax
+
+    from midvision_probe_tpu.parallel import multihost
+
+    seg_rows = multihost.gather_rows(
+        seg_rows, ("segment_id", "image_idx", "area", "d1_ratio"))
+    if seg_rows and jax.process_index() == 0:
+        from midvision_probe_tpu.utils.reporting import plot_segment_area_vs_d1
+
+        plot = plot_segment_area_vs_d1(
+            seg_rows, output_dir=os.path.join(exp_dir, "plots"))
+        logger.info("segment-area scatter: %s (%d segments)",
+                    plot, len(seg_rows))
 
     row = {k: float(np.mean(v)) for k, v in res.items()}
     csv_path = os.path.join(
