@@ -32,6 +32,16 @@ import numpy as np
 sys.path.insert(
     0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
+# honor JAX_PLATFORMS: the environment's boot shim pins
+# jax.config.jax_platforms programmatically ("axon,cpu"), so the env var
+# alone does NOT select a backend — `JAX_PLATFORMS=cpu python
+# convert_checkpoints.py --all` must work (and hang-proof the drill when
+# the tunnel is down)
+if os.environ.get("JAX_PLATFORMS"):
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 
 def drill() -> int:
     """Scan + convert + golden-verify + report (one command)."""

@@ -28,6 +28,13 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(
     0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+# honor JAX_PLATFORMS despite the environment's boot shim pinning the jax
+# config programmatically (env alone does not select a backend here)
+if os.environ.get("JAX_PLATFORMS"):
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 sys.path.insert(
     0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
                     "tests"))
