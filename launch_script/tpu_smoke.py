@@ -48,7 +48,29 @@ def main(argv=None):
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--size", type=int, default=224)
     ap.add_argument("--backbones", nargs="*", default=FAMILIES)
+    ap.add_argument("--preflight-timeout", type=int, default=300,
+                    help="seconds to wait for the TPU backend before "
+                         "failing fast (a dead tunnel otherwise burns "
+                         "~25 min of backend-init timeout PER FAMILY)")
     args = ap.parse_args(argv)
+
+    # fast-fail preflight in a SUBPROCESS (backend init can hang
+    # uninterruptibly inside the tunnel RPC; a thread can't be killed)
+    import subprocess
+
+    try:
+        pre = subprocess.run(
+            [sys.executable, "-c", "import jax; print(jax.devices())"],
+            timeout=args.preflight_timeout, capture_output=True, text=True,
+        )
+    except subprocess.TimeoutExpired:
+        print(f"PREFLIGHT FAIL: jax.devices() did not return within "
+              f"{args.preflight_timeout}s — tunnel down? aborting smoke")
+        return 2
+    if pre.returncode != 0:
+        print("PREFLIGHT FAIL: backend init errored — aborting smoke\n"
+              + pre.stderr.strip()[-500:])
+        return 2
 
     from midvision_probe_tpu.models import zoo
 
