@@ -274,8 +274,12 @@ class ProbeTrainer:
                         f.size * f.dtype.itemsize for f in feats)
                     if self._cache_bytes + size <= self._cache_budget:
                         # np.asarray keeps bfloat16 (ml_dtypes) — same dtype
-                        # on both paths, so the step never recompiles
-                        self._feature_cache[bid] = [np.asarray(f)
+                        # on both paths, so the step never recompiles.
+                        # Multi-process: each host caches ITS shard's rows
+                        # (a global array can't be fetched whole); the
+                        # serve path reassembles via shard_batch ->
+                        # make_array_from_process_local_data.
+                        self._feature_cache[bid] = [_host_local_rows(f)
                                                     for f in feats]
                         self._cache_bytes += size
                     elif logger and not self._cache_full_warned:
@@ -365,11 +369,8 @@ class ProbeTrainer:
         )
         if jax.process_count() > 1:
             # the global pred is not fully addressable here: reassemble
-            # THIS host's rows (its devices hold exactly its loader shard,
-            # contiguous because make_mesh orders devices by process)
-            shards = sorted(pred.addressable_shards,
-                            key=lambda s: s.index[0].start or 0)
-            pred = np.concatenate([np.asarray(s.data) for s in shards])
+            # THIS host's rows (its devices hold exactly its loader shard)
+            pred = _host_local_rows(pred)
         return pred[:b]
 
     def validate(self, loader, metric_fn, max_batches: int | None = None):
@@ -411,6 +412,17 @@ class ProbeTrainer:
                 acc.setdefault(k, []).append(v)
         return multihost.gather_metrics(
             {k: np.concatenate(v) for k, v in acc.items()})
+
+
+def _host_local_rows(arr) -> np.ndarray:
+    """Fetch an array to host numpy; for a multi-process GLOBAL array,
+    return only THIS host's rows (its addressable shards, which are
+    contiguous because make_mesh orders devices by process)."""
+    if jax.process_count() == 1:
+        return np.asarray(arr)
+    shards = sorted(arr.addressable_shards,
+                    key=lambda s: s.index[0].start or 0)
+    return np.concatenate([np.asarray(s.data) for s in shards])
 
 
 def _to_jnp(batch: dict) -> dict:

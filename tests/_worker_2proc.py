@@ -138,7 +138,22 @@ import jax.tree_util as jtu  # noqa: E402
 jtu.tree_map(lambda a, b: np.testing.assert_array_equal(
     np.asarray(a), np.asarray(b)), restored.params, trainer.state.params)
 
+# feature-cache path, multi-process: batch-ORDER shuffling must stay in
+# lockstep across hosts (same seed -> same per-epoch permutation), and
+# cached features keyed by _batch_id must serve the right batches
+trainer_c = ProbeTrainer(backbone=backbone, probe=probe, loss_fn=loss_fn,
+                         n_steps=8, warmup_steps=1.0, seed=0,
+                         cache_features=True)
+cache_loader = Loader(_DS(), batch_size=4, shuffle=False, drop_last=True,
+                      shuffle_batch_order=True, seed=11, **shard)
+trainer_c.init(next(iter(cache_loader)))
+cache_losses = []
+for ep in range(2):
+    cache_loader.set_epoch(ep)
+    cache_losses.append(float(trainer_c.train_epoch(cache_loader)))
+
 result = {"rank": rank, "loss0": float(loss0), "loss1": float(loss1),
+          "cache_losses": cache_losses,
           "process_count": jax.process_count(),
           "epoch_loss": float(epoch_loss),
           "mae_sorted": sorted(np.asarray(gathered["mae"]).tolist())}

@@ -114,3 +114,18 @@ def test_two_process_distributed_matches_single_process(tmp_path):
     assert len(result["mae_sorted"]) == 15  # the wrapped repeat was dropped
     np.testing.assert_allclose(result["mae_sorted"],
                                sorted(metrics["mae"].tolist()), rtol=2e-5)
+
+    # feature-cache + batch-order shuffle, multi-process vs single-process:
+    # per-epoch order permutations are seeded, so both runs see the same
+    # batch sets per epoch; epoch means must match
+    trainer_c = ProbeTrainer(backbone=backbone, probe=probe, loss_fn=loss_fn,
+                             n_steps=8, warmup_steps=1.0, seed=0,
+                             cache_features=True)
+    cache_loader = Loader(_DS(), batch_size=8, shuffle=False, drop_last=True,
+                          shuffle_batch_order=True, seed=11)
+    trainer_c.init(next(iter(cache_loader)))
+    for ep, want in enumerate(result["cache_losses"]):
+        cache_loader.set_epoch(ep)
+        got = float(trainer_c.train_epoch(cache_loader))
+        np.testing.assert_allclose(got, want, rtol=2e-5,
+                                   err_msg=f"cached epoch {ep}")
