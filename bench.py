@@ -47,7 +47,31 @@ except Exception:
 BASELINE_IMGS_PER_SEC = 250.0
 
 
+def _preflight(timeout_s: int = 300) -> None:
+    """Fail fast (clear stderr, rc=2) when the TPU backend is unreachable —
+    backend init against a dead tunnel otherwise hangs far past any
+    reasonable bench budget. Probed in a SUBPROCESS because the hang is
+    uninterruptible inside the tunnel RPC."""
+    import subprocess
+    import sys
+
+    try:
+        pre = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s, capture_output=True, text=True,
+        )
+    except subprocess.TimeoutExpired:
+        print(f"bench preflight: jax.devices() did not return within "
+              f"{timeout_s}s — tunnel down?", file=sys.stderr)
+        raise SystemExit(2)
+    if pre.returncode != 0:
+        print("bench preflight: backend init errored\n"
+              + pre.stderr.strip()[-500:], file=sys.stderr)
+        raise SystemExit(2)
+
+
 def main() -> None:
+    _preflight()
     from midvision_probe_tpu.models import zoo
 
     # driver protocol is dino_vitb16; MVP_BENCH_BACKBONE records secondary
