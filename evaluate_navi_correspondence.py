@@ -52,7 +52,7 @@ def run(cfg):
         e3, e2, ok = navi_batch_errors(
             f0, f1, jnp.asarray(xyz0), jnp.asarray(xyz1),
             jnp.asarray(batch["Rt_01"]), jnp.asarray(batch["intrinsics_1"]),
-            num_corr=cfg.num_corr, scale_factor=sf, use_pallas=use_pallas,
+            num_corr=cfg.num_corr, use_pallas=use_pallas,
         )
         err_3d.append(np.asarray(e3))
         err_2d.append(np.asarray(e2))

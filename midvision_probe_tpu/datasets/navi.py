@@ -180,7 +180,10 @@ class NAVI:
         scene_path = self.data_root / obj_id / scene_id
         with Image.open(scene_path / f"images/downsampled_{img_id}.jpg") as f:
             image = np.array(ImageOps.exif_transpose(f).convert("RGB"))
-        depth = read_depth(str(scene_path / f"depth/downsampled_{img_id}.png"))
+        # millimeters -> meters (reference navi.py:156; Rt's translation is
+        # converted below — mixing the two corrupts every 3D error)
+        depth = read_depth(
+            str(scene_path / f"depth/downsampled_{img_id}.png")) / 1000.0
         valid = depth[depth > 0]
         min_depth = valid.min() if valid.size else 0.0
 

@@ -51,8 +51,16 @@ def task_transform(arr: np.ndarray, task: str) -> np.ndarray:
     if x.ndim == 2:
         x = x[..., None]
 
-    base = task if task in TASK_PARAMETERS else "depth_euclidean"
-    params = TASK_PARAMETERS.get(base, {})
+    # resolve aliases EXPLICITLY: a blanket depth_euclidean fallback would
+    # clamp curvature targets to depth's [0, 8000/65535] range and destroy
+    # them silently (transforms.py:117 maps 'curvature' with
+    # principal_curvature's parameters)
+    aliases = {"depth": "depth_euclidean", "curvature": "principal_curvature"}
+    base = aliases.get(task, task)
+    if base not in TASK_PARAMETERS:
+        raise KeyError(f"unknown taskonomy task {task!r}; known: "
+                       f"{sorted(TASK_PARAMETERS)}")
+    params = TASK_PARAMETERS[base]
     if task in ("principal_curvature", "curvature"):
         x = x[..., :2]  # reference keeps 2 channels (transform_8bit_n_channel(2))
     if "clamp_to" in params:

@@ -36,8 +36,12 @@ def mean_std(image_mean: str):
 def normalize_image(img: np.ndarray, image_mean: str = "imagenet") -> np.ndarray:
     """uint8/float (H, W, 3) → normalized float32."""
     mean, std = mean_std(image_mean)
-    img = img.astype(np.float32)
-    if img.max() > 1.5:
+    # dtype decides the /255, not a value heuristic: a near-black uint8
+    # frame (max <= 1) is still 0..255-scaled. Floats keep the heuristic
+    # for callers that pass un-rescaled float arrays.
+    is_int = np.issubdtype(np.asarray(img).dtype, np.integer)
+    img = np.asarray(img).astype(np.float32)
+    if is_int or img.max() > 1.5:
         img = img / 255.0
     return (img - np.asarray(mean, np.float32)) / np.asarray(std, np.float32)
 
@@ -57,6 +61,17 @@ def color_jitter(img: np.ndarray, rng: np.random.RandomState,
     s = 1 + rng.uniform(-saturation, saturation)
     lum = img.mean(axis=-1, keepdims=True)
     img = (img - lum) * s + lum
+    if hue:
+        # torchvision adjust_hue: shift the HSV hue channel (in turns);
+        # the reference trains with ColorJitter(0.2, 0.2, 0.2, 0.2) whose
+        # 4th argument is hue — dropping it silently narrowed the train
+        # augmentation distribution
+        from matplotlib.colors import hsv_to_rgb, rgb_to_hsv
+
+        dh = rng.uniform(-hue, hue)
+        hsv = rgb_to_hsv(np.clip(img, 0.0, 1.0))
+        hsv[..., 0] = (hsv[..., 0] + dh) % 1.0
+        img = hsv_to_rgb(hsv)
     return np.clip(img, 0.0, 1.0)
 
 
@@ -89,11 +104,19 @@ def random_resized_crop(arrays, rng: np.random.RandomState, out_hw,
     """albumentations RandomResizedCrop with nearest interp."""
     h, w = arrays[0].shape[:2]
     area = h * w
-    s = rng.uniform(*scale)
-    r = rng.uniform(*ratio)
-    ch = int(round(np.sqrt(area * s / r)))
-    cw = int(round(np.sqrt(area * s * r)))
-    ch, cw = min(ch, h), min(cw, w)
+    for _ in range(10):  # albumentations resamples infeasible draws
+        s = rng.uniform(*scale)
+        r = rng.uniform(*ratio)
+        ch = int(round(np.sqrt(area * s / r)))
+        cw = int(round(np.sqrt(area * s * r)))
+        if ch <= h and cw <= w:
+            break
+    else:
+        # fallback preserves the requested RATIO instead of clamping each
+        # side independently (which distorted e.g. ratio=(1,1) square
+        # crops into 480x554 on non-square NYU frames)
+        cw = min(w, int(round(h * r)))
+        ch = min(h, int(round(cw / r)))
     y0 = rng.randint(0, h - ch + 1)
     x0 = rng.randint(0, w - cw + 1)
     out = []

@@ -24,17 +24,21 @@ from midvision_probe_tpu.utils.transformations import transform_points_Rt
 @functools.partial(jax.jit, static_argnames=("num_corr", "use_pallas"))
 def navi_batch_errors(
     feats_0, feats_1, xyz_0, xyz_1, Rt_01, intrinsics,
-    num_corr: int = 500, scale_factor: float = 1.0, use_pallas: bool | None = False,
+    num_corr: int = 500, use_pallas: bool | None = False,
 ):
     """Batched NAVI pair errors.
 
     Args:
         feats_0/1: (B, h, w, C); xyz_0/1: (B, H, W, 3); Rt_01: (B, 4, 4)
-        camera-0 → camera-1 transforms; intrinsics: (B, 3, 3).
+        camera-0 → camera-1 transforms; intrinsics: (B, 3, 3) FULL-RES.
 
     Returns (err_3d (B, N), err_2d (B, N), valid (B, N)) in meters /
-    *xyz-grid* pixels (the driver rescales uv errors by 1/scale_factor like
-    the reference). ``valid`` marks real matches: when a pair has fewer
+    full-resolution pixels: err2d projects 3D points through the full-res
+    intrinsics, so it is already in image pixels — the reference rescales
+    only the VISUALIZATION uv grids by 1/scale_factor, never the error
+    (``evaluate_navi_correspondence.py:183-192``; an earlier revision here
+    divided err2d by scale_factor, inflating it 4x at the protocol's 0.25).
+    ``valid`` marks real matches: when a pair has fewer
     than ``num_corr`` valid query points, the static-shape selection pads
     with -inf-weight garbage rows — the reference instead returns only the
     real matches (``correspondence.py:69-74`` boolean-filters first), so
@@ -49,7 +53,7 @@ def navi_batch_errors(
         err3d = jnp.linalg.norm(c_xyz0in1 - c_xyz1, axis=-1)
         uv1 = project_3dto2d(c_xyz1, K)
         uv0in1 = project_3dto2d(c_xyz0in1, K)
-        err2d = jnp.linalg.norm(uv0in1 - uv1, axis=-1) / scale_factor
+        err2d = jnp.linalg.norm(uv0in1 - uv1, axis=-1)
         return err3d, err2d, jnp.isfinite(w)
 
     return jax.vmap(one)(feats_0, feats_1, xyz_0, xyz_1, Rt_01, intrinsics)

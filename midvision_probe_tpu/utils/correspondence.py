@@ -104,11 +104,18 @@ def masked_correspondences_ratio_test(
     # invalid targets → far constant (cannot be a nearest neighbour)
     feats_1 = jnp.where(valid_1[:, None], feats_1, _FAR)
     dists, idx = knn2(feats_0, feats_1, metric="euclidean", use_pallas=use_pallas)
+    # a NEAREST neighbour at _FAR scale means the target view had no (or
+    # not enough) valid points at all — without this, the _FAR pad row
+    # becomes the 2nd NN, the ratio weight comes out finite (~1.0, i.e.
+    # "maximally unique"!) and garbage matches pass the isfinite(w)
+    # validity filter downstream. Real features are unit-norm (cosine) or
+    # data-scaled, so L2 distances sit far below _FAR/2.
+    far_hit = dists[..., 0] > (_FAR / 2.0)
     if metric == "cosine":
         # inputs were pre-normalized: 1 - cos = 0.5 * L2^2
         dists = 0.5 * dists**2
     weights = calculate_ratio_test(dists) if ratio_test else dists[..., 0]
-    weights = jnp.where(valid_0, weights, -jnp.inf)
+    weights = jnp.where(valid_0 & ~far_hit, weights, -jnp.inf)
     from midvision_probe_tpu.ops.matching import topk_matches
 
     idx0, idx1, w = topk_matches(weights, idx[..., 0], num_corres)

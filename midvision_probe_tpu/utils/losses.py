@@ -42,11 +42,14 @@ def sig_loss(depth_pr, depth_gt, sigma=0.85, eps=0.001):
     """AdaBins-style SigLoss over all valid pixels of the batch
     (``losses.py:54-74``)."""
     valid = (depth_gt > 0).astype(jnp.float32)
-    # log over VALID pixels only — the reference indexes depth_gt[valid]
-    # before the log (losses.py:60-63); computing log(gt+eps) on an
-    # invalid marker like -1 would be NaN, and NaN*0 is NaN
+    # log over VALID pixels only — the reference indexes BOTH tensors with
+    # the mask before the log (losses.py:60-63). Guarding only gt is not
+    # enough: an unsupervised probe prediction < -eps at a depth hole makes
+    # log(pr+eps) NaN, and NaN*0 is NaN (common early in training; the
+    # reference stays finite because invalid pixels never enter the log)
     gt_safe = jnp.where(depth_gt > 0, depth_gt, 1.0)
-    g = (jnp.log(depth_pr + eps) - jnp.log(gt_safe + eps)) * valid
+    pr_safe = jnp.where(depth_gt > 0, depth_pr, 1.0)
+    g = (jnp.log(pr_safe + eps) - jnp.log(gt_safe + eps)) * valid
     n = jnp.clip(valid.sum(), 1, None)
     mean_g2 = jnp.sum(g**2) / n
     mean_g = jnp.sum(g) / n
@@ -68,7 +71,8 @@ def gradient_loss(depth_pr, depth_gt, eps=0.001):
         valid = (gt > 0).astype(jnp.float32)
         n = jnp.clip(valid.sum(), 1, None)
         gt_safe = jnp.where(gt > 0, gt, 1.0)  # see sig_loss
-        diff = (jnp.log(pr + eps) - jnp.log(gt_safe + eps)) * valid
+        pr_safe = jnp.where(gt > 0, pr, 1.0)  # see sig_loss
+        diff = (jnp.log(pr_safe + eps) - jnp.log(gt_safe + eps)) * valid
 
         v_grad = jnp.abs(diff[:, :-2, :] - diff[:, 2:, :])
         v_valid = valid[:, :-2, :] * valid[:, 2:, :]

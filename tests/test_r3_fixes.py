@@ -292,3 +292,44 @@ def test_gather_rows_single_process_identity():
 
     rows = [{"a": 1.0, "b": 2.0}]
     assert gather_rows(rows, ("a", "b")) is rows
+
+
+def test_depth_losses_finite_with_negative_pred_at_holes(rng):
+    """A probe prediction < -eps at an UNSUPERVISED pixel (depth hole) must
+    not NaN the loss: the reference boolean-indexes valid pixels before the
+    log (losses.py:60-63), so it stays finite there."""
+    import jax.numpy as jnp
+
+    from midvision_probe_tpu.utils.losses import (
+        depth_loss,
+        gradient_loss,
+        sig_loss,
+    )
+
+    gt = np.zeros((1, 4, 4), np.float32)
+    gt[0, 0, 0] = 2.0
+    pr = np.full((1, 4, 4), 1.0, np.float32)
+    pr[0, 1, 1] = -0.5  # hole pixel, no supervision
+    for fn in (sig_loss, gradient_loss, depth_loss):
+        v = float(fn(jnp.asarray(pr), jnp.asarray(gt)))
+        assert np.isfinite(v), fn.__name__
+
+
+def test_matching_rejects_fully_invalid_target_view(rng):
+    """A pair whose target view has NO valid points must yield zero real
+    matches (valid all-False), not finite ratio weights against the _FAR
+    pad sentinel."""
+    import jax.numpy as jnp
+
+    from midvision_probe_tpu.utils.correspondence import (
+        masked_correspondences_ratio_test,
+    )
+
+    f0 = rng.randn(40, 16).astype(np.float32)
+    f1 = rng.randn(40, 16).astype(np.float32)
+    v0 = np.ones(40, bool)
+    v1 = np.zeros(40, bool)  # no valid target points at all
+    _, _, w = masked_correspondences_ratio_test(
+        jnp.asarray(f0), jnp.asarray(f1), jnp.asarray(v0), jnp.asarray(v1),
+        num_corres=10, use_pallas=False)
+    assert not np.isfinite(np.asarray(w)).any()
