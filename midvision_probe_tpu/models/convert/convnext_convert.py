@@ -15,10 +15,7 @@ import numpy as np
 from midvision_probe_tpu.models.convnext import ConvNeXtConfig
 
 
-def _np(t: Any) -> np.ndarray:
-    if hasattr(t, "detach"):
-        t = t.detach().cpu().numpy()
-    return np.asarray(t, dtype=np.float32)
+from midvision_probe_tpu.models.convert.common import _np  # noqa: E402,F401
 
 
 def _get(sub: Mapping, *names: str):

@@ -126,15 +126,19 @@ class SDFeaturizer:
         # silently serve the FIRST call's up_ft_indices to later calls
         cache_key = tuple(up_ft_indices)
         if self._jit_feats.get(cache_key) is None:
+            # weights arrive as TRACED arguments: a closure would inline
+            # the multi-GB UNet/VAE trees into the serialized HLO as
+            # constants, which tunnelled compile services reject (the same
+            # HTTP-413 failure probe_fit._forward refuses to reintroduce)
             @jax.jit
-            def fn(images, embeds, t, noise_key):
-                latents = self.vae.apply(self.vae_vars, images)
+            def fn(vae_vars, unet_vars, images, embeds, t, noise_key):
+                latents = self.vae.apply(vae_vars, images)
                 a = self.alphas_cumprod[t]
                 noise = jax.random.normal(noise_key, latents.shape,
                                           latents.dtype)
                 noisy = (jnp.sqrt(a)[:, None, None, None] * latents
                          + jnp.sqrt(1 - a)[:, None, None, None] * noise)
-                out = self.unet.apply(self.unet_vars, noisy, t, embeds,
+                out = self.unet.apply(unet_vars, noisy, t, embeds,
                                       up_ft_indices=tuple(up_ft_indices))
                 return out["up_ft"]
 
@@ -143,6 +147,7 @@ class SDFeaturizer:
         t_arr = jnp.full((B,), int(t), jnp.int32)
         key = jax.random.PRNGKey(noise_seed)
         return self._jit_feats[cache_key](
+            self.vae_vars, self.unet_vars,
             jnp.asarray(images), jnp.asarray(prompt_embeds), t_arr, key)
 
 
@@ -320,9 +325,8 @@ class Zero123:
         self.clip = ViT(self.clip_cfg)
         self.clip_vars = convert_vit_openclip(
             sd, self.clip_cfg, prefix=f"{pre}visual.")
-        to_np = lambda t: np.asarray(  # noqa: E731
-            t.detach().cpu().numpy() if hasattr(t, "detach") else t,
-            np.float32)
+        from midvision_probe_tpu.models.convert.common import _np as to_np
+
         self.clip_proj = jnp.asarray(to_np(sd[f"{pre}visual.proj"]))
         self.cc_proj = (
             jnp.asarray(to_np(sd["cc_projection.weight"])).T,
@@ -361,10 +365,11 @@ class Zero123:
         from midvision_probe_tpu.ops.image import resize
 
         if self._jit is None:
+            # weight trees as traced args — see SDFeaturizer.__call__
             @jax.jit
-            def fn(images, ctx, t, key):
+            def fn(vae_vars, unet_vars, images, ctx, t, key):
                 # c_concat = unscaled VAE latents (zero123 encode_first_stage)
-                latents = self.vae.apply(self.vae_vars, images)
+                latents = self.vae.apply(vae_vars, images)
                 latents = latents / self.vae_cfg.scaling_factor
                 # the UNet's primary input is PURE standard-normal noise
                 # (zero123.py:75 ``img = torch.randn(shape)`` — the image
@@ -377,9 +382,9 @@ class Zero123:
                 # context and the concat latents (zero123.py:64-67)
                 x_uc = jnp.concatenate([noise, jnp.zeros_like(latents)],
                                        axis=-1)
-                cond = self.unet.apply(self.unet_vars, x, t, ctx)["up_ft"]
+                cond = self.unet.apply(unet_vars, x, t, ctx)["up_ft"]
                 uncond = self.unet.apply(
-                    self.unet_vars, x_uc, t, jnp.zeros_like(ctx)
+                    unet_vars, x_uc, t, jnp.zeros_like(ctx)
                 )["up_ft"]
                 return [
                     u + self.GUIDANCE_SCALE * (cc - u)
@@ -395,7 +400,8 @@ class Zero123:
         else:
             ctx = jnp.zeros((B, 1, 768))
         t = jnp.full((B,), int(self.time_step), jnp.int32)
-        feats = self._jit(jnp.asarray(images), ctx, t,
+        feats = self._jit(self.vae_vars, self.unet_vars,
+                          jnp.asarray(images), ctx, t,
                           jax.random.PRNGKey(noise_seed))
         feats = [feats[i] for i in self.multilayers]
         h, w = H // self.patch_size, W // self.patch_size

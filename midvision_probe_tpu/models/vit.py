@@ -113,15 +113,21 @@ def resize_pos_embed(pos: jnp.ndarray, hw: tuple[int, int],
     """Bicubic antialiased pos-embed resize (reference ``utils.py:12-52``).
 
     ``pos``: (n_tokens, C). Returns (new_n, C).
+
+    The reference early-returns on token COUNT alone (``utils.py:31``), so
+    a non-square grid whose patch count coincides with the stored table's
+    (e.g. a 14x14=196 table fed a 7x28=196 grid) silently applies
+    spatially scrambled embeddings. Fixed per the latent-bug policy: the
+    early return requires the GRID SHAPES to match.
     """
     n_grid = pos.shape[0] - 1 if has_cls_token else pos.shape[0]
-    if n_grid == hw[0] * hw[1]:
+    if orig_hw is None:
+        orig = int(round(math.sqrt(n_grid)))
+        orig_hw = (orig, orig)
+    if tuple(orig_hw) == tuple(hw):
         return pos
     if has_cls_token:
         cls_embed, pos = pos[:1], pos[1:]
-    if orig_hw is None:
-        orig = int(round(math.sqrt(pos.shape[0])))
-        orig_hw = (orig, orig)
     grid = pos.reshape(orig_hw[0], orig_hw[1], -1)
     grid = resize(grid, hw, mode="bicubic", align_corners=False, antialias=True)
     pos = grid.reshape(hw[0] * hw[1], -1)

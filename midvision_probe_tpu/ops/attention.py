@@ -108,5 +108,11 @@ def multi_head_attention(q, k, v, bias=None, scale: float = 1.0,
             return _flash_attention(q, k, v, float(scale))
         return _einsum_attention(q, k, v, bias, scale)
     if use_flash:
+        # the flash kernel has no bias input — silently dropping a rel-pos
+        # bias would return wrong attention; force the einsum path instead
+        assert bias is None, (
+            "use_flash=True cannot apply an attention bias; pass "
+            "use_flash=None/False for biased (BEiT-style) attention"
+        )
         return _flash_attention(q, k, v, float(scale))
     return _einsum_attention(q, k, v, bias, scale)

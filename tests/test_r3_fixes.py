@@ -333,3 +333,22 @@ def test_matching_rejects_fully_invalid_target_view(rng):
         jnp.asarray(f0), jnp.asarray(f1), jnp.asarray(v0), jnp.asarray(v1),
         num_corres=10, use_pallas=False)
     assert not np.isfinite(np.asarray(w)).any()
+
+
+def test_resize_pos_embed_nonsquare_coincident_count():
+    """A 14x14=196 table fed a 7x28=196 grid must RESIZE, not early-return:
+    the reference's count-only check (utils.py:31) silently applied
+    spatially scrambled embeddings (latent-bug policy: fix + document)."""
+    import jax.numpy as jnp
+
+    from midvision_probe_tpu.models.vit import resize_pos_embed
+
+    rng = np.random.RandomState(0)
+    pos = jnp.asarray(rng.randn(1 + 14 * 14, 8).astype(np.float32))
+    out = np.asarray(resize_pos_embed(pos, (7, 28), has_cls_token=True))
+    assert out.shape == (1 + 7 * 28, 8)
+    # must NOT be the raw table reinterpreted row-major
+    assert not np.allclose(out[1:], np.asarray(pos)[1:])
+    # same-grid input still early-returns untouched
+    same = resize_pos_embed(pos, (14, 14), has_cls_token=True)
+    np.testing.assert_array_equal(np.asarray(same), np.asarray(pos))
