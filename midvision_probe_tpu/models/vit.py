@@ -115,17 +115,25 @@ def resize_pos_embed(pos: jnp.ndarray, hw: tuple[int, int],
     ``pos``: (n_tokens, C). Returns (new_n, C).
 
     The reference early-returns on token COUNT alone (``utils.py:31``), so
-    a non-square grid whose patch count coincides with the stored table's
-    (e.g. a 14x14=196 table fed a 7x28=196 grid) silently applies
-    spatially scrambled embeddings. Fixed per the latent-bug policy: the
-    early return requires the GRID SHAPES to match.
+    a KNOWN-square table whose patch count coincides with a non-square
+    input grid's (e.g. a 14x14=196 checkpoint table fed a 7x28=196 grid)
+    silently applies spatially scrambled embeddings. Fixed per the
+    latent-bug policy: when the table's grid is KNOWN (``orig_hw``, from
+    the checkpoint's table_grid), the early return requires the grid
+    SHAPES to match. With unknown provenance a count match must still
+    mean "same grid" — random-init tables are created at the (possibly
+    non-square) input grid itself.
     """
     n_grid = pos.shape[0] - 1 if has_cls_token else pos.shape[0]
-    if orig_hw is None:
+    known = orig_hw is not None and n_grid == orig_hw[0] * orig_hw[1]
+    if known:
+        if tuple(orig_hw) == tuple(hw):
+            return pos
+    else:
+        if n_grid == hw[0] * hw[1]:
+            return pos
         orig = int(round(math.sqrt(n_grid)))
         orig_hw = (orig, orig)
-    if tuple(orig_hw) == tuple(hw):
-        return pos
     if has_cls_token:
         cls_embed, pos = pos[:1], pos[1:]
     grid = pos.reshape(orig_hw[0], orig_hw[1], -1)
@@ -421,14 +429,13 @@ class ViT(nn.Module):
                 jnp.float32,
             )
             # trust the actual table length over cfg.table_grid: converted
-            # checkpoints may carry a different (square) training grid
-            n_actual = pos.shape[0] - (1 if c.pos_embed_cls else 0)
-            orig_hw = c.table_grid
-            if orig_hw is None or n_actual != orig_hw[0] * orig_hw[1]:
-                side = int(round(math.sqrt(n_actual)))
-                orig_hw = (side, side)
+            # checkpoints carry their training grid in table_grid;
+            # resize_pos_embed validates it against the actual table and
+            # falls back to the square/count heuristic when inconsistent
+            # (random-init tables are created at the input grid itself)
             pos = resize_pos_embed(
-                pos, (gh, gw), has_cls_token=c.pos_embed_cls, orig_hw=orig_hw
+                pos, (gh, gw), has_cls_token=c.pos_embed_cls,
+                orig_hw=c.table_grid,
             )
             if c.class_token and not c.pos_embed_cls:
                 pos = jnp.concatenate([jnp.zeros_like(pos[:1]), pos], axis=0)

@@ -336,19 +336,29 @@ def test_matching_rejects_fully_invalid_target_view(rng):
 
 
 def test_resize_pos_embed_nonsquare_coincident_count():
-    """A 14x14=196 table fed a 7x28=196 grid must RESIZE, not early-return:
-    the reference's count-only check (utils.py:31) silently applied
-    spatially scrambled embeddings (latent-bug policy: fix + document)."""
+    """A KNOWN 14x14=196 table fed a 7x28=196 grid must RESIZE, not
+    early-return: the reference's count-only check (utils.py:31) silently
+    applied spatially scrambled embeddings (latent-bug policy: fix +
+    document). With UNKNOWN provenance the count heuristic must survive —
+    random-init tables are created at the (possibly non-square) input
+    grid itself."""
     import jax.numpy as jnp
 
     from midvision_probe_tpu.models.vit import resize_pos_embed
 
     rng = np.random.RandomState(0)
     pos = jnp.asarray(rng.randn(1 + 14 * 14, 8).astype(np.float32))
-    out = np.asarray(resize_pos_embed(pos, (7, 28), has_cls_token=True))
+    out = np.asarray(resize_pos_embed(pos, (7, 28), has_cls_token=True,
+                                      orig_hw=(14, 14)))
     assert out.shape == (1 + 7 * 28, 8)
     # must NOT be the raw table reinterpreted row-major
     assert not np.allclose(out[1:], np.asarray(pos)[1:])
     # same-grid input still early-returns untouched
-    same = resize_pos_embed(pos, (14, 14), has_cls_token=True)
+    same = resize_pos_embed(pos, (14, 14), has_cls_token=True,
+                            orig_hw=(14, 14))
     np.testing.assert_array_equal(np.asarray(same), np.asarray(pos))
+    # unknown provenance + count match = same grid (random-init tables):
+    # a 4x3 table serving a 4x3 grid must pass through untouched
+    pos43 = jnp.asarray(rng.randn(12, 8).astype(np.float32))
+    same43 = resize_pos_embed(pos43, (4, 3), has_cls_token=False)
+    np.testing.assert_array_equal(np.asarray(same43), np.asarray(pos43))
