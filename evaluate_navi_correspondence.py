@@ -84,8 +84,12 @@ def run(cfg):
         results.append(f"{rec:5.02f}")
         row[f"2D Recall ({th}px)"] = f"{rec:5.02f}"
 
+    # pairs with NO real matches contribute nothing (consistent with the
+    # valid-only global recalls above) instead of deflating their bin as 0%
+    has_m = valid.any(axis=1)
     rec_2cm = ((err_3d < 0.02) & valid).sum(axis=1) / nv_pair
-    bins = compute_binned_performance(rec_2cm, rel_ang, [0, 30, 60, 90, 120])
+    bins = compute_binned_performance(rec_2cm[has_m], rel_ang[has_m],
+                                      [0, 30, 60, 90, 120])
     for i, acc in enumerate(bins):
         row[f"Bin Rec {i * 30}-{(i + 1) * 30}°"] = f"{acc * 100:5.02f}"
 

@@ -65,16 +65,37 @@ def default_config_dir() -> str:
     return os.path.join(here, "configs")
 
 
+class _Yaml12Loader(yaml.SafeLoader):
+    """SafeLoader with YAML-1.2 float resolution: PyYAML's 1.1 resolver
+    requires a '.' so ``1e-4`` parses as a STRING — OmegaConf (which this
+    layer replicates) patches its loader the same way, and an lr override
+    like ``probe_lr=1e-4`` must come out a float, not crash optax."""
+
+
+_Yaml12Loader.add_implicit_resolver(
+    "tag:yaml.org,2002:float",
+    re.compile(
+        r"""^(?:[-+]?(?:[0-9][0-9_]*)\.[0-9_]*(?:[eE][-+]?[0-9]+)?
+        |[-+]?(?:[0-9][0-9_]*)(?:[eE][-+]?[0-9]+)
+        |\.[0-9_]+(?:[eE][-+][0-9]+)?
+        |[-+]?\.(?:inf|Inf|INF)
+        |\.(?:nan|NaN|NAN))$""",
+        re.X,
+    ),
+    list("-+0123456789."),
+)
+
+
 def _load_yaml(path: str) -> dict:
     with open(path) as f:
-        data = yaml.safe_load(f)
+        data = yaml.load(f, Loader=_Yaml12Loader)
     return data or {}
 
 
 def _parse_value(text: str) -> Any:
     """Parse an override value the way OmegaConf's dotlist does (YAML scalar)."""
     try:
-        return yaml.safe_load(text)
+        return yaml.load(text, Loader=_Yaml12Loader)
     except yaml.YAMLError:
         return text
 
@@ -169,6 +190,14 @@ def compose(
         key = key.strip()
         if key in group_choices and "." not in key:
             group_choices[key] = raw.strip()
+        elif (allow_new and "." not in key
+              and os.path.isfile(os.path.join(config_dir, key,
+                                              raw.strip() + ".yaml"))):
+            # hydra '+group=name' appends a NEW group default and composes
+            # its YAML — assigning the bare string would surface later as
+            # a confusing instantiate() failure far from the user's typo
+            group_choices[key] = raw.strip()
+            group_order.append(key)
         else:
             dotlist.append((key, _parse_value(raw.strip()), allow_new))
 

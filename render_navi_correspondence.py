@@ -85,9 +85,10 @@ def run(cfg, max_pairs: int = 8):
 
         pair_dir = os.path.join(out_dir, f"pair_{i}")
         os.makedirs(pair_dir, exist_ok=True)
-        render_pair(np.asarray(batch["image_0"][0]),
-                    np.asarray(batch["image_1"][0]), uv0, uv1, err3d,
-                    os.path.join(pair_dir, "matches.png"))
+        if err3d.size:  # err.max() on an empty match set would raise
+            render_pair(np.asarray(batch["image_0"][0]),
+                        np.asarray(batch["image_1"][0]), uv0, uv1, err3d,
+                        os.path.join(pair_dir, "matches.png"))
         # a pair can yield zero finite-weight matches (e.g. fully invalid
         # xyz rows): record 0 matches instead of NaN-ing the mean
         mean_err = float(err3d.mean()) if err3d.size else None

@@ -57,11 +57,17 @@ def run(cfg):
     train_ds = _Subset(full.dataset, perm[:n_train])
     val_ds = _Subset(full.dataset, perm[n_train:])
     # caching fixes batch composition but keeps per-epoch batch-order
-    # shuffling, like the other trainers (cache_shuffle_kwargs)
+    # shuffling, like the other trainers (cache_shuffle_kwargs); the
+    # random-split Subsets can't route through driver_common.build_loader,
+    # so apply this host's shard args directly (multi-host lockstep)
+    from midvision_probe_tpu.parallel import multihost
+
+    shard = multihost.process_shard_args()
     train_loader = Loader(train_ds, cfg.batch_size, drop_last=True,
                           seed=cfg.system.get("random_seed", 8),
+                          **shard,
                           **(cache_shuffle_kwargs(cfg) or {"shuffle": True}))
-    val_loader = Loader(val_ds, cfg.batch_size)
+    val_loader = Loader(val_ds, cfg.batch_size, **shard)
 
     probe = instantiate(cfg.probe, feat_dim=backbone.feat_dim,
                         **probe_dtype_kwargs(cfg))
@@ -92,9 +98,16 @@ def run(cfg):
     # ------------------------------------------------------------ validate
     agg = {"F-measure": [], "IoU": [], "Accuracy": [], "CorLoc": []}
     for batch in val_loader:
+        valid = np.asarray(batch.pop("_valid", [])).astype(bool)
         pred = trainer.predict(batch)
-        pred_r = resize(pred, batch["mask"].shape[1:3], mode="bilinear")
-        m = evaluate_binary_masks(np.asarray(pred_r), batch["mask"])
+        pred_r = np.asarray(
+            resize(pred, batch["mask"].shape[1:3], mode="bilinear"))
+        mask = np.asarray(batch["mask"])
+        if valid.size:  # drop multi-host shard-padding repeats
+            pred_r, mask = pred_r[valid], mask[valid]
+            if not len(mask):
+                continue
+        m = evaluate_binary_masks(pred_r, mask)
         for k in agg:
             agg[k].append(m[k])
     row = {k: float(np.mean(v)) for k, v in agg.items()}
