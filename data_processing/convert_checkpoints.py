@@ -65,10 +65,14 @@ def drill() -> int:
         # convert + forward smoke every present file
         _, _, smoke_failed = _convert_smoke(present)
         smoke_failed = {n for n, _ in smoke_failed}
-        # golden round-trip for families with an independent torch oracle
+        # golden round-trip for families with an independent torch oracle;
+        # export failures count as golden failures for their model (one
+        # corrupt file must not abort or mislabel the other rows)
         with tempfile.TemporaryDirectory() as td:
-            export_golden.export(td)
+            rc_export, export_failed = export_golden.export_detailed(td)
             rc_verify, golden_failed = export_golden.verify_detailed(td)
+            golden_failed |= export_failed
+            rc_verify = rc_verify or rc_export
         for name in present:
             has_oracle = (name in export_golden.VIT_GOLDENS
                           or zoo.ZOO[name].arch == "resnet")

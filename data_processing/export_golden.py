@@ -209,6 +209,14 @@ def _torch_vit_taps(name, spec, trunk_sd, x):
 
 
 def export(out_dir: str) -> int:
+    rc, _ = export_detailed(out_dir)
+    return rc
+
+
+def export_detailed(out_dir: str):
+    """Export goldens for every present checkpoint; per-model isolation —
+    one corrupt/mismatched file must not abort the whole landing drill.
+    Returns ``(rc, failed_model_names)``."""
     import torch
 
     from torch_replicas import TorchResNet50
@@ -218,6 +226,7 @@ def export(out_dir: str) -> int:
 
     os.makedirs(out_dir, exist_ok=True)
     n = 0
+    failed: set[str] = set()
     for name, entry in sorted(zoo.ZOO.items()):
         if name.startswith("test_"):
             continue
@@ -226,27 +235,32 @@ def export(out_dir: str) -> int:
         path = os.path.join(zoo.checkpoint_dir(), entry.filename)
         if not os.path.exists(path):
             continue
-        sd = unwrap_checkpoint(
-            torch.load(path, map_location="cpu", weights_only=False),
-            entry.source,
-        )
-        x = _fixed_input(VIT_GOLDENS.get(name, {}).get("size", 224))
-        if entry.arch == "resnet":
-            t = TorchResNet50()
-            t.load_state_dict(sd)
-            t.eval()
-            with torch.no_grad():
-                taps = [o.numpy() for o in t(torch.from_numpy(x))]
-        else:
-            taps = _torch_vit_taps(name, VIT_GOLDENS[name], sd, x)
-        np.savez_compressed(
-            os.path.join(out_dir, f"{name}.npz"),
-            input=x, **{f"tap_{i}": o for i, o in enumerate(taps)},
-        )
-        print(f"[golden] {name}: {len(taps)} taps from {entry.filename}")
-        n += 1
-    print(f"exported {n} goldens to {out_dir}")
-    return 0
+        try:
+            sd = unwrap_checkpoint(
+                torch.load(path, map_location="cpu", weights_only=False),
+                entry.source,
+            )
+            x = _fixed_input(VIT_GOLDENS.get(name, {}).get("size", 224))
+            if entry.arch == "resnet":
+                t = TorchResNet50()
+                t.load_state_dict(sd)
+                t.eval()
+                with torch.no_grad():
+                    taps = [o.numpy() for o in t(torch.from_numpy(x))]
+            else:
+                taps = _torch_vit_taps(name, VIT_GOLDENS[name], sd, x)
+            np.savez_compressed(
+                os.path.join(out_dir, f"{name}.npz"),
+                input=x, **{f"tap_{i}": o for i, o in enumerate(taps)},
+            )
+            print(f"[golden] {name}: {len(taps)} taps from {entry.filename}")
+            n += 1
+        except Exception as e:  # noqa: BLE001 — per-model report tool
+            failed.add(name)
+            print(f"[golden-FAIL] {name}: {type(e).__name__}: {e}")
+    print(f"exported {n} goldens to {out_dir}"
+          + (f" | {len(failed)} failed" if failed else ""))
+    return (1 if failed else 0), failed
 
 
 def verify(golden_dir: str, atol: float = 2e-3) -> int:

@@ -33,7 +33,6 @@ def main():
     ap.add_argument("--images", required=True)
     ap.add_argument("--out", required=True)
     ap.add_argument("--model", default="shi-labs/oneformer_ade20k_swin_large")
-    ap.add_argument("--workers", type=int, default=1)
     args = ap.parse_args()
 
     processor = OneFormerProcessor.from_pretrained(args.model)
@@ -42,6 +41,7 @@ def main():
 
     os.makedirs(args.out, exist_ok=True)
     paths = sorted(glob.glob(os.path.join(args.images, "*_image.png")))
+    n_written = 0
     for path in paths:
         stem = os.path.basename(path).replace("_image.png", "")
         out_path = os.path.join(args.out, f"{stem}_image.npz")
@@ -59,7 +59,9 @@ def main():
             panoptic_map=seg.cpu().numpy().astype(np.int32),
             id2label=np.array(id2label, dtype=object),
         )
-    print(f"wrote {len(paths)} panoptic maps to {args.out}")
+        n_written += 1
+    print(f"wrote {n_written} panoptic maps to {args.out} "
+          f"({len(paths) - n_written} already present)")
 
 
 if __name__ == "__main__":

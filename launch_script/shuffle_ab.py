@@ -97,6 +97,8 @@ def main(argv=None):
         "freezing, which is the only thing the cache changes (identical "
         "model, loss, schedule, data).",
     ]
+    out_dir = os.path.dirname(os.path.abspath(args.out))
+    os.makedirs(out_dir, exist_ok=True)  # don't lose 6 runs to a missing dir
     with open(args.out, "w") as f:
         f.write("\n".join(lines) + "\n")
     print(f"wrote {args.out}")

@@ -84,7 +84,12 @@ def main(argv=None):
                               "system.backbone_dtype=bfloat16",
                               "system.probe_dtype=bfloat16"]
         overrides += list(args.extra)
-        cmd = [sys.executable, driver] + overrides
+        # absolute driver path: a bare filename only works from the repo
+        # root, and a failed `python train_depth.py` exits 2 PER MODEL
+        driver_path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            driver)
+        cmd = [sys.executable, driver_path] + overrides
         log_path = os.path.join(args.log_dir, args.task, f"{tag}.log")
         print(f"[sweep] {' '.join(cmd)} -> {log_path}", flush=True)
         if args.dry_run:

@@ -46,12 +46,15 @@ def main():
         "--extra",
         "dataset=synthetic", "dataset.num_instances=32", "batch_size=8",
         "probe=depth_linear", "optimizer=one_epoch", "wandb.use=False",
-        "output_dir=/tmp/sweep_demo_out",
     ]
     rows = []
     for par in (1, 4, 8):
         t0 = time.time()
-        rc = sweep.main(base + ["--parallel", str(par)])
+        # per-parallelism output dir (appended to the --extra list):
+        # concurrent identical jobs sharing one exp_dir/CSV would
+        # interleave writes and muddy the isolation the demo claims
+        rc = sweep.main(base + [f"output_dir=/tmp/sweep_demo_out_p{par}",
+                                "--parallel", str(par)])
         dt = time.time() - t0
         rows.append((par, dt, rc))
         print(f"[demo] parallel={par}: {dt:.1f}s rc={rc}", flush=True)

@@ -51,8 +51,12 @@ def timeit(fn, *args, iters=10):
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    chk = jax.tree_util.tree_leaves(out)[0]
-    float(jnp.asarray(chk).reshape(-1)[0])
+        # host fetch EVERY iteration: enqueueing many big programs
+        # back-to-back chokes the axon queue into absurd readings
+        # (CLAUDE.md timing discipline; a 42 ms kernel once "measured"
+        # 22-90 s without this)
+        chk = jax.tree_util.tree_leaves(out)[0]
+        float(jnp.asarray(chk).reshape(-1)[0])
     return (time.perf_counter() - t0) / iters
 
 

@@ -83,11 +83,19 @@ void Permutohedral::init(const float* features, int d, int N) {
     }
     barycentric[0] += 1.f + barycentric[d + 1];
 
-    // Register the (d+1) simplex vertices.
+    // Register the (d+1) simplex vertices. Canonical-simplex offset
+    // (Adams et al.): coordinate i of vertex `remainder` is rem0[i] +
+    // remainder, wrapped down by (d+1) for the (remainder) highest-ranked
+    // coordinates. A previous revision mis-factored the wrap as
+    // remainder * -d, which agrees only for remainder <= 1 (so the d=1
+    // Gaussian test passed) but splits the same physical vertex into
+    // several hash keys for d >= 2, fragmenting splat mass and dropping
+    // blur neighbours.
     for (int remainder = 0; remainder <= d; ++remainder) {
       for (int i = 0; i < d; ++i)
         key[i] = static_cast<short>(
-            rem0[i] + remainder * (rank[i] <= d - remainder ? 1 : -d));
+            rem0[i] + (rank[i] <= d - remainder ? remainder
+                                                : remainder - (d + 1)));
       auto it = hash_table.find(key);
       int idx;
       if (it == hash_table.end()) {
