@@ -75,25 +75,30 @@ def run(cfg):
         trainer.set_state(restored[0])
 
     # ------------------------------------------------------------ validate
-    def metric_fn(scale_invariant):
-        def fn(pred, batch):
-            target = batch["depth"]
-            pred_r = resize(pred, target.shape[1:3], mode="bilinear")
+    # ONE prediction sweep serves both protocols: evaluate_depth is a pure
+    # function of (pred, target), so the scale-aware and scale-invariant
+    # metric sets (reference runs validate twice, train_depth.py:664-692)
+    # come from the same frozen forward — halves eval wall-clock
+    def metric_fn_both(pred, batch):
+        target = batch["depth"]
+        pred_r = resize(pred, target.shape[1:3], mode="bilinear")
+        flat = {}
+        for tag, si_flag in (("sa", False), ("si", True)):
             g, lv = evaluate_depth(
                 pred_r, target, batch.get("segmentation"),
-                scale_invariant=scale_invariant,
+                scale_invariant=si_flag,
                 is_navi="segmentation" not in batch,
             )
-            flat = dict(g)
+            for k, v in g.items():
+                flat[f"{tag}__{k}"] = v
             for lk, lvv in lv.items():
                 for k, v in lvv.items():
-                    flat[f"{lk}_{k}"] = v
-            return flat
+                    flat[f"{tag}__{lk}_{k}"] = v
+        return flat
 
-        return fn
-
-    sa = trainer.validate(test_loader, metric_fn(False))
-    si = trainer.validate(test_loader, metric_fn(True))
+    both = trainer.validate(test_loader, metric_fn_both)
+    sa = {k[4:]: v for k, v in both.items() if k.startswith("sa__")}
+    si = {k[4:]: v for k, v in both.items() if k.startswith("si__")}
     logger.info(
         "scale-aware  d1 %.4f rmse %.4f | scale-invariant d1 %.4f rmse %.4f",
         sa["d1"].mean(), sa["rmse"].mean(), si["d1"].mean(), si["rmse"].mean(),
