@@ -58,3 +58,25 @@ def test_to_dict_roundtrip():
     d = to_dict(cfg)
     assert isinstance(d, dict) and not isinstance(d, Config)
     assert d["optimizer"]["n_epochs"] == 10
+
+
+def test_scientific_notation_parses_as_float():
+    """probe_lr=1e-4 must be a float like OmegaConf (PyYAML's 1.1 resolver
+    needs a '.', so it silently became a string reaching optax)."""
+    from midvision_probe_tpu.config import compose
+
+    cfg = compose("depth_training", ["backbone=test_tiny",
+                                     "dataset=synthetic", "probe_lr=1e-4"])
+    assert isinstance(cfg.probe_lr, float) and cfg.probe_lr == 1e-4
+
+
+def test_plus_group_override_composes_group_yaml():
+    """hydra '+group=name' appends a NEW group default and composes its
+    YAML; assigning the bare string fails instantiate() far from the typo."""
+    from midvision_probe_tpu.config import compose
+
+    cfg = compose("spair_correspondence", ["+dataset=synthetic_navi"])
+    assert cfg.dataset.get("_target_", "").endswith("SyntheticNAVIPairs")
+    # non-group '+key=value' additions still work
+    cfg2 = compose("spair_correspondence", ["+brand_new_key=7"])
+    assert cfg2.brand_new_key == 7
