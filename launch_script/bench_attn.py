@@ -218,6 +218,33 @@ def int8_attention(qkv, scale, n_valid, width=128, interpret=False):
     return out
 
 
+# ---------------------------------------------------------- splash variant
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "n_valid"))
+def splash_attention(qkv, scale, n_valid):
+    """jax.experimental splash attention (public TPU flash kernel) on the
+    same padded shape; pad kv columns excluded via a NumpyMask so the
+    softmax normalizer matches the oracle exactly."""
+    from jax.experimental.pallas.ops.tpu.splash_attention import (
+        splash_attention_kernel as sk,
+        splash_attention_mask as sm,
+    )
+
+    B, N, _, H, d = qkv.shape
+    q, k, v = jnp.moveaxis(qkv, 2, 0)          # (B, N, H, d)
+    q = (q.astype(jnp.float32) * scale).astype(qkv.dtype)
+    q = jnp.transpose(q, (0, 2, 1, 3))          # (B, H, N, d)
+    k = jnp.transpose(k, (0, 2, 1, 3))
+    v = jnp.transpose(v, (0, 2, 1, 3))
+    valid = np.zeros((N, N), dtype=bool)
+    valid[:, :n_valid] = True
+    mask = sm.MultiHeadMask([sm.NumpyMask(valid)] * H)
+    kernel = sk.make_splash_mha(mask, head_shards=1, q_seq_shards=1)
+    out = jax.vmap(kernel)(q, k, v)             # (B, H, N, d)
+    return jnp.transpose(out, (0, 2, 1, 3)).reshape(B, N, H * d)
+
+
 # ------------------------------------------------------------------- bench
 
 
@@ -305,6 +332,8 @@ def main(argv=None):
                                                      stagger=True))
         elif vname == "int8":
             report("int8", lambda: int8_attention(qkv, scale, nv))
+        elif vname == "splash":
+            report("splash", lambda: splash_attention(qkv, scale, nv))
         else:
             print(f"unknown variant {vname}")
     return 0
