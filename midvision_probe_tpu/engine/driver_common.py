@@ -19,23 +19,31 @@ from midvision_probe_tpu.parallel import multihost
 from midvision_probe_tpu.utils.logging import CSVWriter, maybe_wandb, setup_logger
 
 
-def build_loader(*args, **kwargs):
+def build_loader(dataset_cfg, split, batch_size, num_shards=None,
+                 shard_index=None, **kwargs):
     """Dataset loader with this host's data shard applied (multi-host:
-    SURVEY §2.6 — DistributedSampler → per-process shard slice)."""
+    SURVEY §2.6 — DistributedSampler → per-process shard slice).
+
+    Mirrors ``datasets.build_loader``'s leading parameters explicitly so
+    positional ``num_shards``/``shard_index`` (the underlying 4th/5th
+    params) don't collide with the injected keywords (a ``*args``-only
+    wrapper raised TypeError 'multiple values for argument' on such
+    calls)."""
     multihost.initialize()
-    kwargs.setdefault("num_shards", None)
-    kwargs.setdefault("shard_index", None)
-    if kwargs["num_shards"] is None:
+    if num_shards is None:
         shard = multihost.process_shard_args()
-        kwargs["num_shards"] = shard["num_shards"]
-        kwargs["shard_index"] = shard["shard_index"]
+        num_shards = shard["num_shards"]
+        shard_index = shard["shard_index"]
     # an explicit num_shards without a shard_index would reach the Loader
     # as shard_index=None (the Loader raises; fail here with the clearer
     # caller-facing message)
-    if kwargs["num_shards"] is not None and kwargs["num_shards"] > 1 \
-            and kwargs["shard_index"] is None:
+    if num_shards is not None and num_shards > 1 and shard_index is None:
         raise ValueError("pass shard_index together with num_shards")
-    return _build_loader(*args, **kwargs)
+    if shard_index is None:
+        shard_index = 0
+    return _build_loader(dataset_cfg, split, batch_size,
+                         num_shards=num_shards, shard_index=shard_index,
+                         **kwargs)
 
 
 def cache_shuffle_kwargs(cfg: Config) -> dict:

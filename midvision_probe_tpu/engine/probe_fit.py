@@ -101,7 +101,22 @@ class ProbeTrainer:
         self.tx = make_adamw(schedule)
         self._train_step = None
         self._eval_step = None
+        self._bb_vars = None
         self.state: TrainState | None = None
+
+    @property
+    def bb_vars(self):
+        """Backbone variables replicated on THIS trainer's mesh (cached).
+
+        ``backbone.device_variables`` is a bare ``device_put`` (single
+        default device). On a multi-device mesh, feeding that to the jitted
+        step would re-broadcast the full frozen tree (ViT-L ≈ 1.2 GB) from
+        device 0 on EVERY call — jit does not memoize input transfers.
+        Replicating once here makes the per-step input a no-op reshard."""
+        if self._bb_vars is None:
+            self._bb_vars = replicate(
+                self.backbone.device_variables, self.mesh)
+        return self._bb_vars
 
     # ---------------------------------------------------------------- init
     def init(self, example_batch: dict) -> TrainState:
@@ -229,7 +244,7 @@ class ProbeTrainer:
                     for f in self.backbone._apply_fn(v, im)[0]
                 ]
             )
-        return self._extract_jit(self.backbone.device_variables, images)
+        return self._extract_jit(self.bb_vars, images)
 
     def train_epoch(self, loader, log_every: int = 50, logger=None,
                     wandb=None) -> float:
@@ -265,11 +280,18 @@ class ProbeTrainer:
                     "partial-batch slice is prefix-based and the valid "
                     "prefixes of a global batch are scattered per host"
                 )
-            batch = shard_batch(batch, self.mesh)
             if self.cache_features:
+                # the jitted cached step never reads the image (``feats``
+                # short-circuits ``_forward``), so keep it host-side: on a
+                # cache hit this skips the largest host->device transfer in
+                # the batch (64x480x640x3 f32 ≈ 225 MB/step) — exactly the
+                # epochs the cache exists to accelerate
+                image = batch.pop("image")
+                batch = shard_batch(batch, self.mesh)
                 cached = self._feature_cache.get(bid)
                 if cached is None:
-                    feats = self._extract(batch["image"])
+                    feats = self._extract(
+                        shard_batch({"image": image}, self.mesh)["image"])
                     size = sum(
                         f.size * f.dtype.itemsize for f in feats)
                     if self._cache_bytes + size <= self._cache_budget:
@@ -297,9 +319,9 @@ class ProbeTrainer:
                 self.state, loss = self._train_step(
                     self.state, batch, n_valid, feats)
             else:
+                batch = shard_batch(batch, self.mesh)
                 self.state, loss = self._train_step(
-                    self.state, batch, n_valid,
-                    self.backbone.device_variables)
+                    self.state, batch, n_valid, self.bb_vars)
             losses.append(loss)
             if logger and (i + 1) % log_every == 0:
                 lv = float(jnp.mean(jnp.stack(losses[-log_every:])))
@@ -365,7 +387,7 @@ class ProbeTrainer:
         batch = shard_batch(batch, self.mesh)
         pred = self._eval_step(
             self.state.params, self.state.batch_stats, batch["image"],
-            self.backbone.device_variables,
+            self.bb_vars,
         )
         if jax.process_count() > 1:
             # the global pred is not fully addressable here: reassemble

@@ -24,7 +24,7 @@ from midvision_probe_tpu.utils.transformations import transform_points_Rt
 @functools.partial(jax.jit, static_argnames=("num_corr", "use_pallas"))
 def navi_batch_errors(
     feats_0, feats_1, xyz_0, xyz_1, Rt_01, intrinsics,
-    num_corr: int = 500, use_pallas: bool | None = False,
+    num_corr: int = 500, use_pallas: bool | None = None,
 ):
     """Batched NAVI pair errors.
 
@@ -62,7 +62,7 @@ def navi_batch_errors(
 @functools.partial(jax.jit, static_argnames=("num_corr", "use_pallas"))
 def scannet_batch_errors(
     feats_0, feats_1, depth_0, depth_1, K, Rt_01,
-    num_corr: int = 500, use_pallas: bool | None = False,
+    num_corr: int = 500, use_pallas: bool | None = None,
 ):
     """Batched ScanNet pair errors (depth-unprojection variant,
     ``render_scannet_correspondence.py:188-230``).

@@ -88,8 +88,13 @@ def pair_errors(feats_i, feats_j, kps_i, kps_j, thresh_scale, image_size,
     kp_f = grid_sample(feats_i[None], ndc[None, None], align_corners=True)
     kp_f = kp_f[0, 0]  # (K, C)
 
+    # HIGHEST matmul precision: near-tie cosine similarities are common on
+    # L2-normalized features and the argmax below must not flip vs the
+    # reference's f32 einsum (preferred_element_type only widens the
+    # accumulator, not the multiplies)
     heat = jnp.einsum("kc,hwc->khw", kp_f, feats_j,
-                      preferred_element_type=jnp.float32)
+                      preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
     w_feat = feats_j.shape[1]
     pred_kp = argmax_2d(heat).astype(jnp.float32) / w_feat  # (K, 2) in [0,1]
 

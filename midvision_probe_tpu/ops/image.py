@@ -131,6 +131,13 @@ def resize(
     ``F.interpolate(x_nchw, scale_factor=2, mode='bilinear',
     align_corners=True)`` on the permuted tensor.
     """
+    if mode == "nearest" and align_corners:
+        # torch parity: F.interpolate raises for this combination, and a
+        # silent ignore would hide porting mistakes in a module whose whole
+        # contract is torch-exact behavior
+        raise ValueError(
+            "align_corners is not applicable to mode='nearest' "
+            "(torch F.interpolate raises for this combination too)")
     squeeze = x.ndim == 3
     if squeeze:
         x = x[None]

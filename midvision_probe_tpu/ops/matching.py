@@ -262,16 +262,26 @@ def get_correspondences_ratio_test(
     ratio_test: bool = True,
     use_pallas: bool | None = None,
 ):
-    """End-to-end match selection (reference ``correspondence.py:63-102``)."""
+    """End-to-end match selection (reference ``correspondence.py:63-102``).
+
+    ``ratio_test=False`` FIXES a latent reference bug (see README
+    "Deliberate non-ports"): the reference feeds raw nearest-neighbour
+    DISTANCES to a descending top-k (``correspondence.py:74-77`` — via a
+    wrong-axis ``dists_1[:, 0]`` slice besides), selecting the num_corres
+    WORST matches. Here the weight is the NEGATED distance so top-k keeps
+    the nearest pairs and "higher weight = better match" holds on both
+    branches."""
     dists_1, idx_1 = knn2(feats_0, feats_1, metric, use_pallas)
-    weights_1 = calculate_ratio_test(dists_1) if ratio_test else dists_1[..., 0]
+    weights_1 = (calculate_ratio_test(dists_1) if ratio_test
+                 else -dists_1[..., 0])
     nn_1 = idx_1[..., 0]
 
     if not bidirectional:
         return topk_matches(weights_1, nn_1, num_corres)
 
     dists_2, idx_2 = knn2(feats_1, feats_0, metric, use_pallas)
-    weights_2 = calculate_ratio_test(dists_2) if ratio_test else dists_2[..., 0]
+    weights_2 = (calculate_ratio_test(dists_2) if ratio_test
+                 else -dists_2[..., 0])
     nn_2 = idx_2[..., 0]
 
     m12_i1, m12_i2, m12_w = topk_matches(weights_1, nn_1, num_corres // 2)

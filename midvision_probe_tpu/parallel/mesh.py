@@ -15,6 +15,18 @@ def make_mesh(num_devices: int = -1, model_axis: int = 1) -> Mesh:
     """
     devices = jax.devices()
     if num_devices and num_devices > 0:
+        if jax.process_count() > 1 and num_devices != len(devices):
+            # jax.devices() is GLOBAL and process-0-first: a prefix slice
+            # here would build a mesh containing only the first hosts'
+            # devices while every host still runs the trainer against it
+            # (make_array_from_process_local_data then fails on hosts with
+            # zero addressable mesh devices, or worse, the per-host shard
+            # math silently miscounts)
+            raise ValueError(
+                f"num_devices={num_devices} with jax.process_count()="
+                f"{jax.process_count()}: per-count device selection is "
+                "single-process only; use num_devices=-1 (all devices) in "
+                "multi-process runs")
         devices = devices[:num_devices]
     n = len(devices)
     assert model_axis >= 1 and n % model_axis == 0, (n, model_axis)

@@ -114,7 +114,10 @@ def masked_correspondences_ratio_test(
     if metric == "cosine":
         # inputs were pre-normalized: 1 - cos = 0.5 * L2^2
         dists = 0.5 * dists**2
-    weights = calculate_ratio_test(dists) if ratio_test else dists[..., 0]
+    # ratio_test=False: NEGATED distance so the descending top-k keeps the
+    # NEAREST pairs (fixes the reference's distance-as-weight inversion,
+    # correspondence.py:74-77 — see ops/matching.py and README non-ports)
+    weights = calculate_ratio_test(dists) if ratio_test else -dists[..., 0]
     weights = jnp.where(valid_0 & ~far_hit, weights, -jnp.inf)
     from midvision_probe_tpu.ops.matching import topk_matches
 

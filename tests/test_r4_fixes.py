@@ -1,0 +1,97 @@
+"""Round-3 review-sweep-7 regression tests: ratio_test=False match
+polarity, torch-parity resize guard, multi-process mesh slice guard,
+driver build_loader positional shard args, and the cached-epoch
+image-transfer elision."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from midvision_probe_tpu.ops.matching import get_correspondences_ratio_test
+from midvision_probe_tpu.ops.image import resize
+from midvision_probe_tpu.parallel import mesh as mesh_mod
+from midvision_probe_tpu.utils.correspondence import (
+    masked_correspondences_ratio_test,
+)
+
+
+# ------------------------------------------------------------- ratio_test
+def test_ratio_test_false_selects_nearest(rng):
+    """ratio_test=False must keep the NEAREST pairs (the reference feeds
+    raw distances to a descending top-k and returns the WORST matches —
+    correspondence.py:74-77; fixed, README non-ports)."""
+    t = rng.randn(64, 16).astype(np.float32)
+    # queries 0..7 are near-duplicates of targets 0..7; the rest are far
+    q = np.concatenate([t[:8] + 0.01 * rng.randn(8, 16).astype(np.float32),
+                        10.0 + rng.randn(24, 16).astype(np.float32)])
+    i0, i1, w = get_correspondences_ratio_test(
+        jnp.asarray(q), jnp.asarray(t), num_corres=8,
+        metric="euclidean", ratio_test=False, use_pallas=False)
+    # the 8 selected sources must be exactly the near-duplicate queries,
+    # each matched to its own target
+    assert sorted(np.asarray(i0).tolist()) == list(range(8))
+    np.testing.assert_array_equal(np.sort(np.asarray(i1)), np.arange(8))
+    # weights are negated distances: descending weight == ascending dist
+    assert np.all(np.asarray(w) <= 0)
+
+
+def test_masked_ratio_test_false_selects_nearest(rng):
+    t = rng.randn(32, 8).astype(np.float32)
+    q = np.concatenate([t[:4] + 0.01 * rng.randn(4, 8).astype(np.float32),
+                        10.0 + rng.randn(12, 8).astype(np.float32)])
+    valid_q = np.ones(16, bool)
+    valid_t = np.ones(32, bool)
+    i0, i1, w = masked_correspondences_ratio_test(
+        jnp.asarray(q), jnp.asarray(t), jnp.asarray(valid_q),
+        jnp.asarray(valid_t), num_corres=4, metric="euclidean",
+        ratio_test=False, use_pallas=False)
+    assert sorted(np.asarray(i0).tolist()) == list(range(4))
+    np.testing.assert_array_equal(np.sort(np.asarray(i1)), np.arange(4))
+
+
+# ----------------------------------------------------------------- resize
+def test_resize_nearest_rejects_align_corners(rng):
+    """torch F.interpolate raises for nearest+align_corners; silent-ignore
+    would hide porting mistakes in the torch-parity resize."""
+    x = jnp.asarray(rng.randn(1, 4, 4, 3).astype(np.float32))
+    with pytest.raises(ValueError, match="align_corners"):
+        resize(x, size=(8, 8), mode="nearest", align_corners=True)
+    # the valid combinations still work
+    assert resize(x, size=(8, 8), mode="nearest").shape == (1, 8, 8, 3)
+
+
+# ------------------------------------------------------------------- mesh
+def test_make_mesh_rejects_device_slice_multiprocess(monkeypatch):
+    """num_devices prefix-slices the GLOBAL process-0-first device list —
+    meaningless (and host-crashing) in a multi-process run; must refuse."""
+    monkeypatch.setattr(mesh_mod.jax, "process_count", lambda: 2)
+    with pytest.raises(ValueError, match="multi-process"):
+        mesh_mod.make_mesh(num_devices=4)
+
+
+def test_make_mesh_allows_all_devices_multiprocess(monkeypatch):
+    monkeypatch.setattr(mesh_mod.jax, "process_count", lambda: 2)
+    n = len(jax.devices())
+    m = mesh_mod.make_mesh(num_devices=n)  # explicit full count is fine
+    assert m.devices.size == n
+
+
+# ---------------------------------------------------------- driver loader
+def test_driver_build_loader_positional_shard_args():
+    """engine.driver_common.build_loader mirrors datasets.build_loader's
+    positional (num_shards, shard_index) — a *args wrapper raised
+    TypeError 'multiple values for argument' on positional use."""
+    from midvision_probe_tpu.config import Config
+    from midvision_probe_tpu.engine.driver_common import build_loader
+
+    cfg = Config(
+        {
+            "_target_": "midvision_probe_tpu.datasets.synthetic.Synthetic",
+            "num_instances": 8,
+            "image_size": [32, 32],
+        }
+    )
+    loader = build_loader(cfg, "train", 4, 2, 1)  # all-positional call
+    batches = list(loader)
+    assert len(batches) == 1  # 8 samples / 2 shards / batch 4
