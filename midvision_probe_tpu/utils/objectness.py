@@ -47,8 +47,19 @@ def compute_corloc(pred_mask, gt_mask, threshold=0.5):
     return 1 if compute_iou(pred_mask, gt_mask, threshold) >= threshold else 0
 
 
-def evaluate_binary_masks(pred, gt, threshold=0.5):
-    """Batch (B, H, W[, 1]) float masks → averaged metric dict."""
+def evaluate_binary_masks(pred, gt, threshold=0.5, reduce=True):
+    """Batch (B, H, W[, 1]) float masks → averaged metric dict.
+
+    ``reduce=False`` returns the per-sample lists instead, so callers can
+    aggregate across uneven loader shards (multi-process validation
+    allgathers per-sample rows before the mean).
+
+    Per-IMAGE metrics by design: the reference's trainer validate pools
+    the whole batch into one mask blob (``train_generic_objectness.py:
+    445-454``), making its numbers batch-size dependent; its per-image
+    eval driver (``evaluate_generic_objectness.py:209-233``) is the
+    intended semantics and the one mirrored here (see README
+    "Deliberate non-ports")."""
     pred = np.asarray(pred)
     gt = np.asarray(gt)
     if pred.ndim == 4:
@@ -64,4 +75,6 @@ def evaluate_binary_masks(pred, gt, threshold=0.5):
         rows["IoU"].append(compute_iou(pred[b], gb, threshold))
         rows["Accuracy"].append(compute_accuracy(pred[b], gb, threshold))
         rows["CorLoc"].append(compute_corloc(pred[b], gb, threshold))
+    if not reduce:
+        return rows
     return {k: float(np.mean(v)) for k, v in rows.items()}

@@ -80,3 +80,18 @@ def test_plus_group_override_composes_group_yaml():
     # non-group '+key=value' additions still work
     cfg2 = compose("spair_correspondence", ["+brand_new_key=7"])
     assert cfg2.brand_new_key == 7
+
+
+def test_leading_dot_and_signed_float_forms():
+    """YAML-1.2 core-schema float forms the first resolver regex missed:
+    signed leading-dot (-.5/+.5) and leading-dot with UNSIGNED exponent
+    (.5e3) must parse as floats, not strings (review finding r4)."""
+    from midvision_probe_tpu.config.core import _parse_value
+
+    for text, want in [("-.5", -0.5), ("+.5", 0.5), (".5e3", 500.0),
+                       (".5e-3", 0.0005), (".5", 0.5), ("-.25e2", -25.0)]:
+        got = _parse_value(text)
+        assert isinstance(got, float) and got == want, (text, got)
+    # non-floats must stay strings
+    for text in [".e3", "-.e2", ".", "+.", "1.2.3"]:
+        assert isinstance(_parse_value(text), str), text

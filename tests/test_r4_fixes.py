@@ -95,3 +95,27 @@ def test_driver_build_loader_positional_shard_args():
     loader = build_loader(cfg, "train", 4, 2, 1)  # all-positional call
     batches = list(loader)
     assert len(batches) == 1  # 8 samples / 2 shards / batch 4
+
+
+def test_binary_mask_rows_shard_equivalence(rng):
+    """Objectness validation aggregates per-SAMPLE rows allgathered across
+    hosts (review finding r4: per-host batch means covered only that
+    host's loader shard). The guarantee gather_rows provides is that
+    concatenating shard rows then meaning equals the full-dataset
+    per-sample mean — assert that, and that reduce=True matches."""
+    from midvision_probe_tpu.utils.objectness import evaluate_binary_masks
+
+    pred = rng.uniform(size=(6, 16, 16)).astype("float32")
+    gt = (rng.uniform(size=(6, 16, 16)) > 0.5).astype("float32")
+
+    full = evaluate_binary_masks(pred, gt)
+    rows = evaluate_binary_masks(pred, gt, reduce=False)
+    for k, mean in full.items():
+        assert abs(sum(rows[k]) / len(rows[k]) - mean) < 1e-12
+
+    # two uneven "host shards" (4 + 2): concat of per-sample rows == full
+    a = evaluate_binary_masks(pred[:4], gt[:4], reduce=False)
+    b = evaluate_binary_masks(pred[4:], gt[4:], reduce=False)
+    for k in full:
+        merged = a[k] + b[k]
+        assert abs(sum(merged) / len(merged) - full[k]) < 1e-12

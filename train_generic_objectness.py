@@ -96,7 +96,13 @@ def run(cfg):
         trainer.set_state(restored[0])
 
     # ------------------------------------------------------------ validate
-    agg = {"F-measure": [], "IoU": [], "Accuracy": [], "CorLoc": []}
+    # per-SAMPLE rows, allgathered across hosts before the mean: every
+    # process sees only its val_loader shard, so batch-mean aggregation
+    # here would report partial-dataset metrics multi-process (and weight
+    # a short final batch equally). gather_rows is the identity when
+    # single-process.
+    metric_keys = ("F-measure", "IoU", "Accuracy", "CorLoc")
+    rows = []
     for batch in val_loader:
         valid = np.asarray(batch.pop("_valid", [])).astype(bool)
         pred = trainer.predict(batch)
@@ -107,10 +113,13 @@ def run(cfg):
             pred_r, mask = pred_r[valid], mask[valid]
             if not len(mask):
                 continue
-        m = evaluate_binary_masks(pred_r, mask)
-        for k in agg:
-            agg[k].append(m[k])
-    row = {k: float(np.mean(v)) for k, v in agg.items()}
+        m = evaluate_binary_masks(pred_r, mask, reduce=False)
+        rows.extend(
+            {k: m[k][j] for k in metric_keys}
+            for j in range(len(m["F-measure"]))
+        )
+    rows = multihost.gather_rows(rows, metric_keys)
+    row = {k: float(np.mean([r[k] for r in rows])) for k in metric_keys}
     logger.info("objectness F %.4f IoU %.4f Acc %.4f CorLoc %.4f",
                 row["F-measure"], row["IoU"], row["Accuracy"], row["CorLoc"])
 
