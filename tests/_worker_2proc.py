@@ -152,7 +152,17 @@ for ep in range(2):
     cache_loader.set_epoch(ep)
     cache_losses.append(float(trainer_c.train_epoch(cache_loader)))
 
+# gather_rows with UNEVEN per-host row lists — the objectness-trainer
+# validation path (per-sample metric rows allgathered before the mean);
+# rank 0 contributes 3 rows, rank 1 contributes 2
+_keys = ("F-measure", "IoU")
+_local = [{"F-measure": float(rank * 10 + i), "IoU": float(rank + i) / 10}
+          for i in range(3 - rank)]
+_merged = multihost.gather_rows(_local, _keys)
+
 result = {"rank": rank, "loss0": float(loss0), "loss1": float(loss1),
+          "rows_f": [r["F-measure"] for r in _merged],
+          "rows_iou": [r["IoU"] for r in _merged],
           "cache_losses": cache_losses,
           "process_count": jax.process_count(),
           "epoch_loss": float(epoch_loss),

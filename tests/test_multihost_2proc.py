@@ -46,6 +46,12 @@ def test_two_process_distributed_matches_single_process(tmp_path):
     result = json.loads(out.read_text())
     assert result["process_count"] == 2
 
+    # gather_rows merged both hosts' UNEVEN row lists in process order
+    # (rank 0: 3 rows, rank 1: 2 rows) — the objectness validation path
+    assert result["rows_f"] == [0.0, 1.0, 2.0, 10.0, 11.0]
+    np.testing.assert_allclose(result["rows_iou"],
+                               [0.0, 0.1, 0.2, 0.1, 0.2])
+
     # single-process oracle (same math, full batch, float32)
     X = (np.arange(16 * 8, dtype=np.float32).reshape(16, 8) / 100.0)
     Y = (X @ np.linspace(0.1, 0.8, 8, dtype=np.float32)[:, None]
