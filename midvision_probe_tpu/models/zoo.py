@@ -233,11 +233,17 @@ register(ZooEntry(
     "croco_vitb16", "vit", "croco", "CroCo.pth",
     url="naver CroCo v1 (croco.py:9-14)",
     vit=_vit("vit_base", 16, pos_embed="sincos2d", class_token=False),
+    # the reference wrapper bilinearly resizes EVERY dense-forward input to
+    # 224x224 (croco.py:149-153) — the sincos table is built for the 224
+    # grid and never resized, so 224 is the only size the reference ever
+    # runs. Same latent protocol behavior as the BEiT family.
+    fixed_input=224,
 ))
 register(ZooEntry(
     "crocov2_vitb16", "vit", "croco", "CroCo_V2_ViTBase_BaseDecoder.pth",
     url="naver CroCo v2 (crocov2.py:10-15)",
     vit=_vit("vit_base", 16, pos_embed="none", class_token=False, rope=True),
+    fixed_input=224,  # crocov2.py:152-154 — same forced resize as v1
 ))
 
 # --- MiDaS / RADIO (reference midas_final.py, radio.py) -------------------

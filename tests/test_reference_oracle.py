@@ -713,3 +713,129 @@ def test_maskcut_forward_matches_reference(rng, monkeypatch):
     for got, want in zip(o_eigs, r_eigs):
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    atol=1e-5)
+
+
+# --------------------------------------------------------------------------
+# 2D RoPE — the reference's pure-torch fallback
+# (croco_models/pos_embed.py:110-157) IS the semantics of the CUDA kernel
+# our Pallas op replaces; run it as the oracle for both dispatch paths.
+# --------------------------------------------------------------------------
+def _import_ref_pos_embed():
+    from evals.models.croco_models import pos_embed as ref_pe
+    return ref_pe
+
+
+def test_rope2d_matches_reference(rng):
+    ref_pe = _import_ref_pos_embed()
+    rope = ref_pe.RoPE2D(freq=100.0)
+
+    from midvision_probe_tpu.ops.rope2d import rope_2d
+
+    B, H, N, D = 2, 3, 35, 16
+    tokens = rng.randn(B, H, N, D).astype(np.float32)
+    pos = rng.randint(0, 13, size=(B, N, 2)).astype(np.int64)
+    with torch.no_grad():
+        want = rope(_t(tokens.copy()), _t(pos)).numpy()
+
+    got = np.asarray(rope_2d(jnp.asarray(tokens), jnp.asarray(pos),
+                             use_pallas=False))
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+    # the Pallas TPU kernel, interpreted on CPU (same code path as chip)
+    got_k = np.asarray(rope_2d(jnp.asarray(tokens), jnp.asarray(pos),
+                               use_pallas=True, interpret=True))
+    np.testing.assert_allclose(got_k, want, atol=1e-5, rtol=1e-5)
+
+
+# --------------------------------------------------------------------------
+# CroCo encoder end-to-end: a real (tiny) reference CroCoNet's state_dict
+# through the RELEASED-layout converter path (remap source="croco" →
+# convert_vit_timm), per-block taps vs the reference wrapper's tap loop
+# (evals/models/croco.py:168-175 — raw block outputs, no enc_norm).
+# --------------------------------------------------------------------------
+@pytest.mark.parametrize("pos_mode", ["cosine", "RoPE100"])
+def test_croco_encoder_matches_reference(rng, pos_mode):
+    from evals.models.croco_models.croco import CroCoNet
+
+    from midvision_probe_tpu.models.convert.remap import unwrap_checkpoint
+    from midvision_probe_tpu.models.convert.vit_convert import convert_vit_timm
+    from midvision_probe_tpu.models.vit import ViT, ViTConfig
+
+    torch.manual_seed(3)
+    m = CroCoNet(img_size=32, patch_size=8, enc_embed_dim=32, enc_depth=2,
+                 enc_num_heads=2, dec_embed_dim=32, dec_depth=1,
+                 dec_num_heads=2, pos_embed=pos_mode).eval()
+
+    sd = unwrap_checkpoint({"model": m.state_dict()}, source="croco")
+    cfg = ViTConfig(
+        patch_size=8, width=32, depth=2, num_heads=2, class_token=False,
+        pos_embed="sincos2d" if pos_mode == "cosine" else "none",
+        rope=pos_mode.startswith("RoPE"),
+    )
+    variables = convert_vit_timm(sd, cfg)
+
+    x = rng.rand(2, 32, 32, 3).astype(np.float32)
+    with torch.no_grad():
+        t, pos = m.patch_embed(_t(x.transpose(0, 3, 1, 2)))
+        if m.enc_pos_embed is not None:
+            t = t + m.enc_pos_embed[None, ...]
+        refs = []
+        for blk in m.enc_blocks:
+            t = blk(t, pos)
+            refs.append(t.numpy())
+
+    res = ViT(cfg).apply(variables, jnp.asarray(x), taps=(0, 1))
+    assert len(res["tokens"]) == len(refs)
+    for got, want in zip(res["tokens"], refs):
+        np.testing.assert_allclose(np.asarray(got), want,
+                                   atol=1e-4, rtol=1e-3)
+
+
+# --------------------------------------------------------------------------
+# Objectness metric formulas — the reference driver's own compute_* fns
+# (train_generic_objectness.py:56-183; driver deps stubbed)
+# --------------------------------------------------------------------------
+def _import_ref_objectness():
+    for name in ("hydra", "hydra.utils", "omegaconf", "wandb",
+                 "torchvision", "torchvision.transforms", "submitit"):
+        mod = types.ModuleType(name)
+        mod.__path__ = []
+        sys.modules.setdefault(name, mod)
+    sys.modules["hydra"].utils = sys.modules["hydra.utils"]
+    sys.modules["hydra"].main = lambda *a, **k: (lambda f: f)
+    sys.modules["hydra.utils"].instantiate = lambda *a, **k: None
+    sys.modules["omegaconf"].DictConfig = dict
+    sys.modules["omegaconf"].OmegaConf = types.SimpleNamespace(
+        to_yaml=lambda c: str(c))
+    sys.modules["wandb"].require = lambda *a, **k: None
+    sys.modules["torchvision"].transforms = sys.modules[
+        "torchvision.transforms"]
+    import importlib
+    spec = importlib.util.spec_from_file_location(
+        "ref_train_generic_objectness",
+        os.path.join(REF, "train_generic_objectness.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_objectness_formulas_match_reference(rng):
+    ref = _import_ref_objectness()
+
+    from midvision_probe_tpu.utils import objectness as ours
+
+    for _ in range(4):
+        pred = (rng.rand(24, 24) > rng.rand()).astype(np.uint8)
+        gt = (rng.rand(24, 24) > rng.rand()).astype(np.uint8)
+        p_ref, r_ref = ref.compute_precision_recall(pred, gt)
+        p_got, r_got = ours.compute_precision_recall(pred, gt)
+        np.testing.assert_allclose([p_got, r_got], [p_ref, r_ref],
+                                   rtol=1e-6)
+        np.testing.assert_allclose(ours.compute_f_measure(p_got, r_got),
+                                   ref.compute_f_measure(p_ref, r_ref),
+                                   rtol=1e-6)
+        np.testing.assert_allclose(ours.compute_iou(pred, gt),
+                                   ref.compute_iou(pred, gt), rtol=1e-6)
+        np.testing.assert_allclose(ours.compute_accuracy(pred, gt),
+                                   ref.compute_accuracy(pred, gt), rtol=1e-6)
+        assert ours.compute_corloc(pred, gt) == ref.compute_corloc(pred, gt)
