@@ -839,3 +839,247 @@ def test_objectness_formulas_match_reference(rng):
         np.testing.assert_allclose(ours.compute_accuracy(pred, gt),
                                    ref.compute_accuracy(pred, gt), rtol=1e-6)
         assert ours.compute_corloc(pred, gt) == ref.compute_corloc(pred, gt)
+
+
+# --------------------------------------------------------------------------
+# SPair PCK protocol — the reference driver's own compute_errors +
+# evaluate_dataset (evaluate_spair_correspondence.py:45-123), executed with
+# a feature-stub model so the ENTIRE error/recall/confusion pipeline (kp
+# grid_sample, heatmap argmax, thresh_scale normalization, invalid-kp 1e3
+# fill, NN search, recall aggregation, confusion matrix) is the oracle.
+#
+# Only the reachable path is compared: the reference's ``mask_feats=True``
+# branch is dead code that CRASHES as written — ``feats * masks``
+# broadcasts (2, C, h, w) against (2, h, w), which torch rejects at
+# non-singleton dim 1 (evaluate_spair_correspondence.py:61-63; no caller
+# passes mask_feats). Our evaluator implements the intended per-pixel
+# masking (README "Deliberate non-ports").
+# --------------------------------------------------------------------------
+def _import_ref_spair():
+    for name in ("hydra", "hydra.utils", "omegaconf", "wandb",
+                 "torchvision", "torchvision.transforms"):
+        mod = sys.modules.get(name)
+        if mod is None:
+            mod = types.ModuleType(name)
+            mod.__path__ = []
+            sys.modules[name] = mod
+    sys.modules["hydra"].utils = sys.modules["hydra.utils"]
+    sys.modules["hydra"].main = lambda *a, **k: (lambda f: f)
+    sys.modules["hydra.utils"].instantiate = lambda *a, **k: None
+    sys.modules["omegaconf"].DictConfig = dict
+    sys.modules["omegaconf"].OmegaConf = types.SimpleNamespace(
+        to_yaml=lambda c: str(c), to_container=lambda *a, **k: {})
+    sys.modules["torchvision"].transforms = sys.modules[
+        "torchvision.transforms"]
+    import importlib
+    spec = importlib.util.spec_from_file_location(
+        "ref_evaluate_spair",
+        os.path.join(REF, "evaluate_spair_correspondence.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_spair_protocol_matches_reference(rng, monkeypatch):
+    _import_ref_correspondence()  # stubs faiss (correspondence.py:4-11)
+    ref = _import_ref_spair()
+    monkeypatch.setattr(torch.Tensor, "cuda", lambda self, *a, **k: self,
+                        raising=False)
+
+    import evaluate_spair_correspondence as ours_driver
+    from midvision_probe_tpu.evaluators.spair import batch_errors
+
+    S, C, K, n_pairs = 64, 16, 6, 3
+    h = S // 16
+    raw = rng.randn(n_pairs, 2, C, h, h).astype(np.float32)
+    # the reference L2-normalizes model output over channels (:59); feed
+    # our evaluator the identically-normalized maps (its make_feature_fn
+    # normalizes the same way, tested end-to-end elsewhere)
+    feats_n = raw / np.linalg.norm(raw, axis=2, keepdims=True)
+
+    kps = rng.randint(0, S, size=(n_pairs, 2, K, 3)).astype(np.float32)
+    kps[..., 2] = (rng.rand(n_pairs, 2, K) > 0.25).astype(np.float32)
+    kps[:, :, 0, 2] = 1.0  # at least one kp visible in both views
+    # bbox-scale normalizers sized so per-kp errors straddle the 0.10
+    # threshold (recall is neither 0 nor 100)
+    thresh_scales = (rng.rand(n_pairs) * 0.3 + 0.02).astype(np.float32)
+
+    class _StubModel:
+        """Returns the pre-drawn (2, C, h, w) features per call, in
+        dataset order — evaluate_dataset calls it once per pair."""
+
+        def __init__(self):
+            self.i = 0
+
+        def __call__(self, images):
+            assert images.shape == (2, 3, S, S)
+            out = torch.from_numpy(raw[self.i].copy())
+            self.i += 1
+            return out
+
+    class _RefDataset:
+        def __len__(self):
+            return n_pairs
+
+        def __getitem__(self, i):
+            img = torch.zeros(3, S, S)
+            mask = np.zeros((S, S), dtype=np.float32)
+            return (img, mask, torch.from_numpy(kps[i, 0].copy()),
+                    img.clone(), mask, torch.from_numpy(kps[i, 1].copy()),
+                    torch.tensor(float(thresh_scales[i])), None)
+
+    ref_recall, ref_conf = ref.evaluate_dataset(
+        _StubModel(), _RefDataset(), 0.10)
+
+    # ---- per-pair raw outputs incl. heatmaps (compute_errors, pair 0)
+    e_same, e_nn, i_same, i_nn, heat = ref.compute_errors(
+        _StubModel(), _RefDataset()[0], return_heatmaps=True)
+
+    feats_nhwc = feats_n.transpose(0, 1, 3, 4, 2)  # (n, 2, h, w, C)
+    out = batch_errors(
+        jnp.asarray(feats_nhwc[:1, 0]), jnp.asarray(feats_nhwc[:1, 1]),
+        jnp.asarray(kps[:1, 0]), jnp.asarray(kps[:1, 1]),
+        jnp.asarray(thresh_scales[:1]), S, return_heatmaps=True)
+    g_same, g_nn, g_in, g_idx, g_heat = [np.asarray(x)[0] for x in out]
+    sel = g_in.astype(bool)
+    assert np.array_equal(np.nonzero(sel)[0], i_same.numpy())
+    np.testing.assert_allclose(g_same[sel], e_same.numpy(),
+                               atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(g_nn[sel], e_nn.numpy(),
+                               atol=1e-4, rtol=1e-4)
+    assert np.array_equal(g_idx[sel], i_nn.numpy())
+    np.testing.assert_allclose(g_heat, heat.numpy(), atol=1e-4)
+
+    # ---- full-dataset aggregation through OUR driver's evaluate_dataset
+    class _OurDataset:
+        def __len__(self):
+            return n_pairs
+
+        def __getitem__(self, i):
+            return {"img_i": np.zeros((S, S, 3), np.float32),
+                    "img_j": np.zeros((S, S, 3), np.float32),
+                    "kps_i": kps[i, 0], "kps_j": kps[i, 1],
+                    "thresh_scale": thresh_scales[i]}
+
+    def feature_fn(imgs):
+        # the driver stacks [img_i]*b + [img_j]*b per batch
+        b = imgs.shape[0] // 2
+        assert b == n_pairs
+        return jnp.asarray(
+            np.concatenate([feats_nhwc[:, 0], feats_nhwc[:, 1]], axis=0))
+
+    got_recall, got_conf = ours_driver.evaluate_dataset(
+        feature_fn, _OurDataset(), batch_pairs=8, image_size=S)
+    np.testing.assert_allclose(got_recall, ref_recall, atol=1e-4)
+    np.testing.assert_allclose(got_conf, ref_conf)
+
+
+# --------------------------------------------------------------------------
+# NAVI matcher end-to-end — the reference's estimate_correspondence_xyz
+# (correspondence.py:235-263: bicubic feature upsample → z>0 masking →
+# cosine k=2 kNN → Lowe ratio weights → top-num_corr selection) plus the
+# driver's full error chain (evaluate_navi_correspondence.py:178-223).
+# faiss.GpuIndexFlatL2 is replaced by an exact torch brute-force index, so
+# every other line of reference code runs for real.
+# --------------------------------------------------------------------------
+def test_navi_matcher_end_to_end_matches_reference(rng):
+    ref_corr = _import_ref_correspondence()
+
+    class _BruteFlatL2:
+        """Exact stand-in for faiss.GpuIndexFlatL2 (squared-L2 search).
+        knn_points only consumes the INDICES (correspondence.py:50-58)."""
+
+        def __init__(self, res, dim):
+            self.dim = dim
+
+        def add(self, target):
+            self.t = target
+
+        def search(self, query, k):
+            d2 = torch.cdist(query.float(), self.t.float()) ** 2
+            dist, idx = torch.topk(d2, k, dim=-1, largest=False)
+            return dist, idx
+
+    sys.modules["faiss"].GpuIndexFlatL2 = _BruteFlatL2
+
+    from midvision_probe_tpu.utils import correspondence as corr
+    from midvision_probe_tpu.evaluators.geometric import navi_batch_errors
+    from midvision_probe_tpu.utils.metrics import compute_binned_performance
+    from evals.utils import transformations as ref_tf
+
+    C, h, w, H, W, num_corr = 12, 6, 8, 12, 16, 40
+    feats = rng.randn(2, 2, C, h, w).astype(np.float32)
+    xyz = rng.randn(2, 2, H, W, 3).astype(np.float32)
+    # z > 0 for ~70% of pixels — irregular valid masks on both views
+    xyz[..., 2] = np.where(rng.rand(2, 2, H, W) < 0.7,
+                           rng.rand(2, 2, H, W) * 2 + 0.1, -1.0)
+
+    Rt = np.tile(np.eye(4, dtype=np.float32), (2, 1, 1))
+    for b in range(2):
+        th = 0.3 + 0.5 * b
+        Rt[b, :3, :3] = np.asarray(
+            [[np.cos(th), -np.sin(th), 0], [np.sin(th), np.cos(th), 0],
+             [0, 0, 1]], np.float32)
+        Rt[b, :3, 3] = rng.randn(3) * 0.1
+    K = np.asarray([[100.0, 0, W / 2], [0, 100.0, H / 2], [0, 0, 1]],
+                   np.float32)
+
+    ref_err3d, ref_err2d = [], []
+    for b in range(2):
+        c_xyz0, c_xyz1, c_w, c_uv0, c_uv1 = ref_corr.estimate_correspondence_xyz(
+            _t(feats[b, 0]), _t(feats[b, 1]),
+            _t(xyz[b, 0].transpose(2, 0, 1)),
+            _t(xyz[b, 1].transpose(2, 0, 1)), num_corr)
+
+        got = corr.estimate_correspondence_xyz(
+            jnp.asarray(feats[b, 0].transpose(1, 2, 0)),
+            jnp.asarray(feats[b, 1].transpose(1, 2, 0)),
+            jnp.asarray(xyz[b, 0]), jnp.asarray(xyz[b, 1]),
+            num_corr, use_pallas=False)
+        g_xyz0, g_xyz1, g_w, g_uv0, g_uv1 = [np.asarray(x) for x in got]
+
+        # both sides return matches in descending-weight topk order
+        np.testing.assert_allclose(g_w, c_w.numpy(), atol=1e-5, rtol=1e-4)
+        np.testing.assert_allclose(g_xyz0, c_xyz0.numpy(), atol=1e-5)
+        np.testing.assert_allclose(g_xyz1, c_xyz1.numpy(), atol=1e-5)
+        np.testing.assert_allclose(g_uv0, c_uv0.numpy(), atol=1e-5)
+        np.testing.assert_allclose(g_uv1, c_uv1.numpy(), atol=1e-5)
+
+        # driver error chain (evaluate_navi_correspondence.py:183-192)
+        c_xyz0in1 = ref_tf.transform_points_Rt(c_xyz0, _t(Rt[b, :3, :4]))
+        ref_err3d.append((c_xyz0in1 - c_xyz1).norm(p=2, dim=1).numpy())
+        uv1 = ref_corr.project_3dto2d(c_xyz1, _t(K))
+        uv0in1 = ref_corr.project_3dto2d(c_xyz0in1, _t(K))
+        ref_err2d.append((uv0in1 - uv1).norm(p=2, dim=1).numpy())
+
+    e3, e2, valid = navi_batch_errors(
+        jnp.asarray(feats[:, 0].transpose(0, 2, 3, 1)),
+        jnp.asarray(feats[:, 1].transpose(0, 2, 3, 1)),
+        jnp.asarray(xyz[:, 0]), jnp.asarray(xyz[:, 1]),
+        jnp.asarray(Rt), jnp.asarray(np.tile(K, (2, 1, 1))),
+        num_corr=num_corr, use_pallas=False)
+    assert bool(np.asarray(valid).all())  # num_corr < valid points here
+    np.testing.assert_allclose(np.asarray(e3), np.stack(ref_err3d),
+                               atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(e2), np.stack(ref_err2d),
+                               atol=1e-3, rtol=1e-4)
+
+    # recall + rotation-binned aggregation (:200-223)
+    err_3d = np.stack(ref_err3d)
+    for th in (0.01, 0.02, 0.05):
+        ref_rec = 100 * float((_t(err_3d) < th).float().mean())
+        got_rec = 100 * float((np.asarray(e3) < th).mean())
+        np.testing.assert_allclose(got_rec, ref_rec, atol=1e-4)
+    rel_ang = ref_tf.so3_rotation_angle(_t(Rt[:, :3, :3])) * 180.0 / np.pi
+    rec_2cm = (_t(err_3d) < 0.02).float().mean(dim=1)
+    ref_bins = ref_corr.compute_binned_performance(
+        rec_2cm, rel_ang, [0, 30, 60, 90, 120])
+    got_bins = compute_binned_performance(
+        np.asarray((np.asarray(e3) < 0.02).mean(axis=1)),
+        rel_ang.numpy(), [0, 30, 60, 90, 120])
+    for gb, rb in zip(got_bins, ref_bins):
+        rb = float(rb) if np.isfinite(float(rb)) else np.nan
+        if np.isnan(rb):
+            assert np.isnan(gb)
+        else:
+            np.testing.assert_allclose(gb, rb, atol=1e-5)
