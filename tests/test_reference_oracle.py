@@ -1083,3 +1083,101 @@ def test_navi_matcher_end_to_end_matches_reference(rng):
             assert np.isnan(gb)
         else:
             np.testing.assert_allclose(gb, rb, atol=1e-5)
+
+
+# --------------------------------------------------------------------------
+# ScanNet matcher end-to-end — the reference's estimate_correspondence_depth
+# (correspondence.py:218-232: depth unprojection → z>0 masking → pointcloud
+# feature sampling → cosine ratio-test matching) plus the driver's error
+# chain and recall thresholds (render_scannet_correspondence.py:205-268),
+# with the same brute-force faiss index as the NAVI oracle.
+# --------------------------------------------------------------------------
+def test_scannet_matcher_end_to_end_matches_reference(rng):
+    ref_corr = _import_ref_correspondence()
+
+    class _BruteFlatL2:
+        def __init__(self, res, dim):
+            self.dim = dim
+
+        def add(self, target):
+            self.t = target
+
+        def search(self, query, k):
+            d2 = torch.cdist(query.float(), self.t.float()) ** 2
+            dist, idx = torch.topk(d2, k, dim=-1, largest=False)
+            return dist, idx
+
+    sys.modules["faiss"].GpuIndexFlatL2 = _BruteFlatL2
+
+    from midvision_probe_tpu.utils import correspondence as corr
+    from midvision_probe_tpu.evaluators.geometric import scannet_batch_errors
+    from evals.utils import transformations as ref_tf
+
+    C, h, w, H, W, num_corr = 12, 6, 8, 12, 16, 40
+    feats = rng.randn(2, 2, C, h, w).astype(np.float32)
+    depth = (rng.rand(2, 2, H, W) * 3 + 0.3).astype(np.float32)
+    depth[rng.rand(2, 2, H, W) < 0.3] = 0.0  # irregular holes
+    K = np.asarray([[100.0, 0, W / 2], [0, 100.0, H / 2], [0, 0, 1]],
+                   np.float32)
+    Rt = np.tile(np.eye(4, dtype=np.float32), (2, 1, 1))
+    for b in range(2):
+        th = 0.2 + 0.4 * b
+        Rt[b, :3, :3] = np.asarray(
+            [[1, 0, 0], [0, np.cos(th), -np.sin(th)],
+             [0, np.sin(th), np.cos(th)]], np.float32)
+        Rt[b, :3, 3] = rng.randn(3) * 0.05
+
+    ref_err3d, ref_err2d, ref_uv00, ref_uv11 = [], [], [], []
+    for b in range(2):
+        c_xyz0, c_xyz1, c_w = ref_corr.estimate_correspondence_depth(
+            _t(feats[b, 0]), _t(feats[b, 1]),
+            _t(depth[b, 0][None]), _t(depth[b, 1][None]),
+            _t(K.copy()), num_corr)
+
+        g_xyz0, g_xyz1, g_w = [np.asarray(x)
+                               for x in corr.estimate_correspondence_depth(
+            jnp.asarray(feats[b, 0].transpose(1, 2, 0)),
+            jnp.asarray(feats[b, 1].transpose(1, 2, 0)),
+            jnp.asarray(depth[b, 0]), jnp.asarray(depth[b, 1]),
+            jnp.asarray(K), num_corr, use_pallas=False)]
+        np.testing.assert_allclose(g_w, c_w.numpy(), atol=1e-5, rtol=1e-4)
+        np.testing.assert_allclose(g_xyz0, c_xyz0.numpy(),
+                                   atol=1e-4, rtol=1e-4)
+        np.testing.assert_allclose(g_xyz1, c_xyz1.numpy(),
+                                   atol=1e-4, rtol=1e-4)
+
+        # driver error chain (render_scannet_correspondence.py:210-218)
+        c_xyz0in1 = ref_tf.transform_points_Rt(c_xyz0, _t(Rt[b, :3, :4]))
+        ref_err3d.append((c_xyz0in1 - c_xyz1).norm(p=2, dim=1).numpy())
+        uv_0in0 = ref_corr.project_3dto2d(c_xyz0, _t(K.copy()))
+        uv_0in1 = ref_corr.project_3dto2d(c_xyz0in1, _t(K.copy()))
+        uv_1in1 = ref_corr.project_3dto2d(c_xyz1, _t(K.copy()))
+        ref_err2d.append((uv_0in1 - uv_1in1).norm(p=2, dim=1).numpy())
+        ref_uv00.append(uv_0in0.numpy())
+        ref_uv11.append(uv_1in1.numpy())
+
+    e3, e2, uv00, uv11, valid = scannet_batch_errors(
+        jnp.asarray(feats[:, 0].transpose(0, 2, 3, 1)),
+        jnp.asarray(feats[:, 1].transpose(0, 2, 3, 1)),
+        jnp.asarray(depth[:, 0]), jnp.asarray(depth[:, 1]),
+        jnp.asarray(np.tile(K, (2, 1, 1))), jnp.asarray(Rt),
+        num_corr=num_corr, use_pallas=False)
+    assert bool(np.asarray(valid).all())
+    np.testing.assert_allclose(np.asarray(e3), np.stack(ref_err3d),
+                               atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(e2), np.stack(ref_err2d),
+                               atol=1e-3, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(uv00), np.stack(ref_uv00),
+                               atol=1e-3, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(uv11), np.stack(ref_uv11),
+                               atol=1e-3, rtol=1e-4)
+
+    # recall thresholds (:253-263)
+    for th in (0.01, 0.02, 0.05, 0.1, 0.2, 0.3, 0.4, 0.5):
+        ref_rec = 100 * float((_t(np.stack(ref_err3d)) < th).float().mean())
+        np.testing.assert_allclose(
+            100 * float((np.asarray(e3) < th).mean()), ref_rec, atol=1e-4)
+    for th in (1, 2, 5, 15, 25, 35, 50):
+        ref_rec = 100 * float((_t(np.stack(ref_err2d)) < th).float().mean())
+        np.testing.assert_allclose(
+            100 * float((np.asarray(e2) < th).mean()), ref_rec, atol=1e-4)
