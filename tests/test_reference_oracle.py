@@ -1181,3 +1181,62 @@ def test_scannet_matcher_end_to_end_matches_reference(rng):
         ref_rec = 100 * float((_t(np.stack(ref_err2d)) < th).float().mean())
         np.testing.assert_allclose(
             100 * float((np.asarray(e2) < th).mean()), ref_rec, atol=1e-4)
+
+
+# --------------------------------------------------------------------------
+# 2AFC choice rule — the reference driver's cosine-similarity comparison
+# and 0/1 prediction (evaluate_model_percepture.py:46-49, 115-120) plus its
+# sklearn metric block (:52-64), vs our driver's batched rule
+# --------------------------------------------------------------------------
+def test_2afc_choice_rule_matches_reference(rng, monkeypatch):
+    for name in ("hydra", "hydra.utils", "omegaconf", "wandb"):
+        mod = sys.modules.get(name)
+        if mod is None:
+            mod = types.ModuleType(name)
+            mod.__path__ = []
+            sys.modules[name] = mod
+    sys.modules["hydra"].utils = sys.modules["hydra.utils"]
+    sys.modules["hydra"].main = lambda *a, **k: (lambda f: f)
+    sys.modules["hydra.utils"].instantiate = lambda *a, **k: None
+    sys.modules["omegaconf"].DictConfig = dict
+    sys.modules["omegaconf"].OmegaConf = types.SimpleNamespace(
+        to_yaml=lambda c: str(c), to_container=lambda *a, **k: {})
+    sys.modules["wandb"].require = lambda *a, **k: None
+    # the driver imports build_loader at module level; its dataset deps are
+    # irrelevant to the scoring rule under test
+    monkeypatch.setitem(sys.modules, "evals.datasets.builder",
+                        types.SimpleNamespace(build_loader=None))
+    import importlib
+    spec = importlib.util.spec_from_file_location(
+        "ref_evaluate_model_percepture",
+        os.path.join(REF, "evaluate_model_percepture.py"))
+    ref = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref)
+
+    import evaluate_model_percepture as ours
+
+    f_ref = rng.randn(33, 24).astype(np.float32)
+    f_left = rng.randn(33, 24).astype(np.float32)
+    # make some left/right pairs nearly tied so the > comparison is exercised
+    f_right = np.where(rng.rand(33, 1) < 0.5,
+                       f_left + 1e-3 * rng.randn(33, 24).astype(np.float32),
+                       rng.randn(33, 24).astype(np.float32))
+    gt = (rng.rand(33) < 0.5).astype(int)
+
+    sim_l = ref.cosine_similarity_batch(_t(f_ref), _t(f_left))
+    sim_r = ref.cosine_similarity_batch(_t(f_ref), _t(f_right))
+    ref_pred = torch.where(sim_l > sim_r, 0, 1).numpy()
+    ref_metrics = ref.compute_metrics(gt.tolist(), ref_pred.tolist())
+
+    # our driver's rule (its `cos` is nested in run(); the e2e path runs in
+    # the driver sweeps) — same formula, torch's eps=1e-8 denominator clamp
+    def cos(a, c):
+        num = np.sum(a * c, axis=-1)
+        den = np.linalg.norm(a, axis=-1) * np.linalg.norm(c, axis=-1)
+        return num / np.clip(den, 1e-8, None)
+
+    got_pred = np.where(cos(f_ref, f_left) > cos(f_ref, f_right), 0, 1)
+    np.testing.assert_array_equal(got_pred, ref_pred)
+    got_metrics = ours.compute_metrics(gt.tolist(), got_pred.tolist())
+    for k in ("accuracy", "f1_score", "precision", "recall"):
+        np.testing.assert_allclose(got_metrics[k], ref_metrics[k], atol=1e-9)
