@@ -36,6 +36,24 @@ def compute_metrics(gt, pred):
             "recall": recall}
 
 
+def choose_2afc(ref, left, right):
+    """2AFC cosine choice rule (``:121-131``): 0 if ref is closer to left.
+
+    torch's ``cosine_similarity`` eps=1e-8 denominator clamp is mirrored.
+    Module-level so the oracle test exercises the production rule directly.
+    """
+    import jax.numpy as jnp
+
+    def cos(a, c):
+        num = jnp.sum(a * c, axis=-1)
+        den = jnp.linalg.norm(a, axis=-1) * jnp.linalg.norm(c, axis=-1)
+        return num / jnp.clip(den, 1e-8, None)
+
+    sim_l = cos(ref, left)
+    sim_r = cos(ref, right)
+    return np.where(np.asarray(sim_l) > np.asarray(sim_r), 0, 1)
+
+
 def run(cfg, dataset=None):
     import jax
     import jax.numpy as jnp
@@ -71,15 +89,7 @@ def run(cfg, dataset=None):
         feats = embed(jnp.asarray(imgs))
         b = batch["img_ref"].shape[0]
         ref, left, right = feats[:b], feats[b:2 * b], feats[2 * b:]
-
-        def cos(a, c):
-            num = jnp.sum(a * c, axis=-1)
-            den = jnp.linalg.norm(a, axis=-1) * jnp.linalg.norm(c, axis=-1)
-            return num / jnp.clip(den, 1e-8, None)
-
-        sim_l = cos(ref, left)
-        sim_r = cos(ref, right)
-        pred = np.where(np.asarray(sim_l) > np.asarray(sim_r), 0, 1)
+        pred = choose_2afc(ref, left, right)
         gts.extend(batch["p"].tolist())
         preds.extend(pred.tolist())
 

@@ -855,22 +855,36 @@ def test_objectness_formulas_match_reference(rng):
 # passes mask_feats). Our evaluator implements the intended per-pixel
 # masking (README "Deliberate non-ports").
 # --------------------------------------------------------------------------
-def _import_ref_spair():
-    for name in ("hydra", "hydra.utils", "omegaconf", "wandb",
-                 "torchvision", "torchvision.transforms"):
+def _scoped_stub_modules(monkeypatch, names):
+    """setdefault-like stub installation routed through monkeypatch so the
+    sys.modules mutations are undone per-test (ADVICE r3). Pre-existing
+    modules keep their identity (cached ``evals.*`` imports hold references
+    to them); only newly-created stubs are removed on teardown."""
+    mods = {}
+    for name in names:
         mod = sys.modules.get(name)
         if mod is None:
             mod = types.ModuleType(name)
             mod.__path__ = []
-            sys.modules[name] = mod
-    sys.modules["hydra"].utils = sys.modules["hydra.utils"]
-    sys.modules["hydra"].main = lambda *a, **k: (lambda f: f)
-    sys.modules["hydra.utils"].instantiate = lambda *a, **k: None
-    sys.modules["omegaconf"].DictConfig = dict
-    sys.modules["omegaconf"].OmegaConf = types.SimpleNamespace(
-        to_yaml=lambda c: str(c), to_container=lambda *a, **k: {})
-    sys.modules["torchvision"].transforms = sys.modules[
-        "torchvision.transforms"]
+            monkeypatch.setitem(sys.modules, name, mod)
+        mods[name] = mod
+    return mods
+
+
+def _import_ref_spair(monkeypatch):
+    m = _scoped_stub_modules(
+        monkeypatch, ("hydra", "hydra.utils", "omegaconf", "wandb",
+                      "torchvision", "torchvision.transforms"))
+    mp = monkeypatch.setattr
+    mp(m["hydra"], "utils", m["hydra.utils"], raising=False)
+    mp(m["hydra"], "main", lambda *a, **k: (lambda f: f), raising=False)
+    mp(m["hydra.utils"], "instantiate", lambda *a, **k: None, raising=False)
+    mp(m["omegaconf"], "DictConfig", dict, raising=False)
+    mp(m["omegaconf"], "OmegaConf", types.SimpleNamespace(
+        to_yaml=lambda c: str(c), to_container=lambda *a, **k: {}),
+       raising=False)
+    mp(m["torchvision"], "transforms", m["torchvision.transforms"],
+       raising=False)
     import importlib
     spec = importlib.util.spec_from_file_location(
         "ref_evaluate_spair",
@@ -882,7 +896,7 @@ def _import_ref_spair():
 
 def test_spair_protocol_matches_reference(rng, monkeypatch):
     _import_ref_correspondence()  # stubs faiss (correspondence.py:4-11)
-    ref = _import_ref_spair()
+    ref = _import_ref_spair(monkeypatch)
     monkeypatch.setattr(torch.Tensor, "cuda", lambda self, *a, **k: self,
                         raising=False)
 
@@ -982,7 +996,7 @@ def test_spair_protocol_matches_reference(rng, monkeypatch):
 # faiss.GpuIndexFlatL2 is replaced by an exact torch brute-force index, so
 # every other line of reference code runs for real.
 # --------------------------------------------------------------------------
-def test_navi_matcher_end_to_end_matches_reference(rng):
+def test_navi_matcher_end_to_end_matches_reference(rng, monkeypatch):
     ref_corr = _import_ref_correspondence()
 
     class _BruteFlatL2:
@@ -1000,7 +1014,10 @@ def test_navi_matcher_end_to_end_matches_reference(rng):
             dist, idx = torch.topk(d2, k, dim=-1, largest=False)
             return dist, idx
 
-    sys.modules["faiss"].GpuIndexFlatL2 = _BruteFlatL2
+    # scoped: undone after the test so later tests can't silently reuse the
+    # brute index (ADVICE r3)
+    monkeypatch.setattr(sys.modules["faiss"], "GpuIndexFlatL2",
+                        _BruteFlatL2, raising=False)
 
     from midvision_probe_tpu.utils import correspondence as corr
     from midvision_probe_tpu.evaluators.geometric import navi_batch_errors
@@ -1092,7 +1109,7 @@ def test_navi_matcher_end_to_end_matches_reference(rng):
 # chain and recall thresholds (render_scannet_correspondence.py:205-268),
 # with the same brute-force faiss index as the NAVI oracle.
 # --------------------------------------------------------------------------
-def test_scannet_matcher_end_to_end_matches_reference(rng):
+def test_scannet_matcher_end_to_end_matches_reference(rng, monkeypatch):
     ref_corr = _import_ref_correspondence()
 
     class _BruteFlatL2:
@@ -1107,7 +1124,8 @@ def test_scannet_matcher_end_to_end_matches_reference(rng):
             dist, idx = torch.topk(d2, k, dim=-1, largest=False)
             return dist, idx
 
-    sys.modules["faiss"].GpuIndexFlatL2 = _BruteFlatL2
+    monkeypatch.setattr(sys.modules["faiss"], "GpuIndexFlatL2",
+                        _BruteFlatL2, raising=False)
 
     from midvision_probe_tpu.utils import correspondence as corr
     from midvision_probe_tpu.evaluators.geometric import scannet_batch_errors
@@ -1189,19 +1207,17 @@ def test_scannet_matcher_end_to_end_matches_reference(rng):
 # sklearn metric block (:52-64), vs our driver's batched rule
 # --------------------------------------------------------------------------
 def test_2afc_choice_rule_matches_reference(rng, monkeypatch):
-    for name in ("hydra", "hydra.utils", "omegaconf", "wandb"):
-        mod = sys.modules.get(name)
-        if mod is None:
-            mod = types.ModuleType(name)
-            mod.__path__ = []
-            sys.modules[name] = mod
-    sys.modules["hydra"].utils = sys.modules["hydra.utils"]
-    sys.modules["hydra"].main = lambda *a, **k: (lambda f: f)
-    sys.modules["hydra.utils"].instantiate = lambda *a, **k: None
-    sys.modules["omegaconf"].DictConfig = dict
-    sys.modules["omegaconf"].OmegaConf = types.SimpleNamespace(
-        to_yaml=lambda c: str(c), to_container=lambda *a, **k: {})
-    sys.modules["wandb"].require = lambda *a, **k: None
+    m = _scoped_stub_modules(
+        monkeypatch, ("hydra", "hydra.utils", "omegaconf", "wandb"))
+    mp = monkeypatch.setattr
+    mp(m["hydra"], "utils", m["hydra.utils"], raising=False)
+    mp(m["hydra"], "main", lambda *a, **k: (lambda f: f), raising=False)
+    mp(m["hydra.utils"], "instantiate", lambda *a, **k: None, raising=False)
+    mp(m["omegaconf"], "DictConfig", dict, raising=False)
+    mp(m["omegaconf"], "OmegaConf", types.SimpleNamespace(
+        to_yaml=lambda c: str(c), to_container=lambda *a, **k: {}),
+       raising=False)
+    mp(m["wandb"], "require", lambda *a, **k: None, raising=False)
     # the driver imports build_loader at module level; its dataset deps are
     # irrelevant to the scoring rule under test
     monkeypatch.setitem(sys.modules, "evals.datasets.builder",
@@ -1228,14 +1244,10 @@ def test_2afc_choice_rule_matches_reference(rng, monkeypatch):
     ref_pred = torch.where(sim_l > sim_r, 0, 1).numpy()
     ref_metrics = ref.compute_metrics(gt.tolist(), ref_pred.tolist())
 
-    # our driver's rule (its `cos` is nested in run(); the e2e path runs in
-    # the driver sweeps) — same formula, torch's eps=1e-8 denominator clamp
-    def cos(a, c):
-        num = np.sum(a * c, axis=-1)
-        den = np.linalg.norm(a, axis=-1) * np.linalg.norm(c, axis=-1)
-        return num / np.clip(den, 1e-8, None)
-
-    got_pred = np.where(cos(f_ref, f_left) > cos(f_ref, f_right), 0, 1)
+    # the PRODUCTION choice rule (module-level so run() and this test share
+    # one implementation — ADVICE r3)
+    got_pred = ours.choose_2afc(jnp.asarray(f_ref), jnp.asarray(f_left),
+                                jnp.asarray(f_right))
     np.testing.assert_array_equal(got_pred, ref_pred)
     got_metrics = ours.compute_metrics(gt.tolist(), got_pred.tolist())
     for k in ("accuracy", "f1_score", "precision", "recall"):
