@@ -84,7 +84,13 @@ class TaskonomyDataset:
 
     def __getitem__(self, idx):
         item = self.dataset[idx]
-        src_key = "depth_euclidean" if self.task == "depth" else self.task
+        # the published dataset's column is 'depth' (notebook
+        # data_preprocess.ipynb cell 1; reference taskonomy.py:72 reads
+        # item[self.task]) while the synthetic fallback stores the raw
+        # component name — accept either
+        src_key = self.task
+        if src_key not in item and self.task == "depth":
+            src_key = "depth_euclidean"
         return {
             "image": task_transform(np.asarray(item["rgb"]), "rgb"),
             "target": task_transform(np.asarray(item[src_key]), src_key),
