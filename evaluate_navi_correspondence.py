@@ -21,12 +21,14 @@ from midvision_probe_tpu.config import instantiate, main
 from midvision_probe_tpu.datasets import build_loader
 from midvision_probe_tpu.evaluators.geometric import navi_batch_errors
 from midvision_probe_tpu.evaluators.spair import make_feature_fn
+from midvision_probe_tpu.parallel import multihost
 from midvision_probe_tpu.utils.logging import CSVWriter, setup_logger
 from midvision_probe_tpu.utils.metrics import compute_binned_performance
 from midvision_probe_tpu.utils.transformations import so3_rotation_angle
 
 
 def run(cfg):
+    import jax
     import jax.numpy as jnp
 
     from midvision_probe_tpu.datasets.transforms import resize_nearest
@@ -35,12 +37,21 @@ def run(cfg):
     model = instantiate(cfg.backbone, output="dense",
                         return_multilayer=cfg.multilayer)
     feature_fn = make_feature_fn(model)
-    loader = build_loader(cfg.dataset, "test", cfg.get("batch_pairs", 4), 1,
-                          pair_dataset=True)
+    # multi-process: each host evaluates its pair shard; the reference runs
+    # eval single-GPU unsharded (train_depth.py:559 num_gpus=1), so the
+    # cross-host gather below is this rebuild's own semantics — padded
+    # wrap rows are dropped per host, error rows allgathered before any
+    # recall/binning math, and rows arrive process-major (order-invariant
+    # for every emitted statistic)
+    loader = build_loader(cfg.dataset, "test", cfg.get("batch_pairs", 4),
+                          pair_dataset=True,
+                          **multihost.process_shard_args())
 
     err_3d, err_2d, valid, rel_ang = [], [], [], []
     use_pallas = None  # auto: pallas on TPU
     for batch in loader:
+        keep = np.asarray(batch.pop("_valid",
+                                    np.ones(len(batch["image_0"]), bool)))
         f0 = feature_fn(jnp.asarray(batch["image_0"]))
         f1 = feature_fn(jnp.asarray(batch["image_1"]))
         sf = cfg.scale_factor
@@ -54,17 +65,22 @@ def run(cfg):
             jnp.asarray(batch["Rt_01"]), jnp.asarray(batch["intrinsics_1"]),
             num_corr=cfg.num_corr, use_pallas=use_pallas,
         )
-        err_3d.append(np.asarray(e3))
-        err_2d.append(np.asarray(e2))
-        valid.append(np.asarray(ok))
+        err_3d.append(np.asarray(e3)[keep])
+        err_2d.append(np.asarray(e2)[keep])
+        valid.append(np.asarray(ok)[keep])
         rel_ang.append(np.degrees(np.asarray(
             so3_rotation_angle(jnp.asarray(batch["Rt_01"][:, :3, :3]))
-        )))
+        ))[keep])
 
-    err_3d = np.concatenate(err_3d)
-    err_2d = np.concatenate(err_2d)
-    valid = np.concatenate(valid)
-    rel_ang = np.concatenate(rel_ang)
+    gathered = multihost.gather_metrics({
+        "err_3d": np.concatenate(err_3d),
+        "err_2d": np.concatenate(err_2d),
+        "valid": np.concatenate(valid),
+        "rel_ang": np.concatenate(rel_ang),
+    })
+    err_3d, err_2d = gathered["err_3d"], gathered["err_2d"]
+    valid = gathered["valid"].astype(bool)
+    rel_ang = gathered["rel_ang"]
     # recalls over REAL matches only: pairs with < num_corr valid points
     # pad with garbage rows that the reference never emits (see
     # navi_batch_errors docstring)
@@ -93,6 +109,8 @@ def run(cfg):
     for i, acc in enumerate(bins):
         row[f"Bin Rec {i * 30}-{(i + 1) * 30}°"] = f"{acc * 100:5.02f}"
 
+    if jax.process_index() != 0:  # CSV is a rank-0 sink (one row per sweep)
+        return {"err_3d": err_3d, "err_2d": err_2d, "row": row}
     os.makedirs(cfg.output_dir, exist_ok=True)
     CSVWriter(os.path.join(cfg.output_dir, "navi_correspondence_final.csv")
               ).append({

@@ -135,3 +135,30 @@ def test_two_process_distributed_matches_single_process(tmp_path):
         got = float(trainer_c.train_epoch(cache_loader))
         np.testing.assert_allclose(got, want, rtol=2e-5,
                                    err_msg=f"cached epoch {ep}")
+
+    # ---- phase 3 oracle: the NAVI eval DRIVER, single-process ----
+    # identical config re-run here (9 pairs, so the 2-process run sharded
+    # 5 + 4 with one wrapped repeat dropped); the CSV row dict — every
+    # recall and rotation bin, as formatted — must match the distributed
+    # run exactly, and only rank 0 may have written a CSV
+    from midvision_probe_tpu.config import compose
+
+    import evaluate_navi_correspondence as navi_drv
+
+    navi_cfg = compose(
+        "navi_correspondence",
+        ["backbone=test_tiny", "dataset=synthetic_navi",
+         "dataset.num_instances=9", "num_corr=64", "batch_pairs=4",
+         "scale_factor=0.25", f"output_dir={tmp_path / 'navi_1proc'}"],
+    )
+    navi_single = navi_drv.run(navi_cfg)
+    assert navi_single["err_3d"].shape == (9, 64)
+    assert result["navi_row"] == navi_single["row"]
+    np.testing.assert_allclose(
+        result["navi_err3d_sorted"],
+        np.sort(np.asarray(navi_single["err_3d"]).reshape(-1)), rtol=1e-5)
+
+    csv_2proc = tmp_path / "navi_2proc" / "navi_correspondence_final.csv"
+    assert csv_2proc.exists()
+    lines = [ln for ln in csv_2proc.read_text().splitlines() if ln.strip()]
+    assert len(lines) == 2, f"rank-0-only CSV expected 1 data row: {lines}"
