@@ -8,6 +8,8 @@ without any downloaded data.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 
@@ -26,11 +28,75 @@ class SyntheticDepth:
         self.image_size = tuple(image_size)
         self.max_depth = max_depth
         self.seed = seed
+        # items are a pure function of (seed, index), so memoize: on the
+        # 1-core suite host a fresh 480x480 item costs ~0.45 s of numpy,
+        # which re-generated every epoch dominates cached-feature epochs
+        # (~110 s/epoch at 256 instances). Budget via $MVP_SYNTH_CACHE_GB
+        # (default 16 GiB ≈ 2300 480x480 items); past it, regenerate.
+        self._memo: dict[int, dict] = {}
+        self._memo_bytes = 0
+        self._memo_budget = int(float(os.environ.get(
+            "MVP_SYNTH_CACHE_GB", "16")) * 1024**3)
 
     def __len__(self):
         return self.num_instances
 
     def __getitem__(self, index):
+        hit = self._memo.get(index)
+        if hit is not None:
+            # shallow copy: consumers may pop keys; arrays are never
+            # mutated in place anywhere in the pipeline
+            return dict(hit)
+        item = self._disk_load(index)
+        if item is None:
+            item = self._generate(index)
+            self._disk_store(index, item)
+        size = sum(v.nbytes for v in item.values())
+        if self._memo_bytes + size <= self._memo_budget:
+            self._memo[index] = item
+            self._memo_bytes += size
+        return dict(item)
+
+    # Cross-PROCESS item cache (opt-in, $MVP_SYNTH_DISK_CACHE=<dir>): a
+    # backbone sweep runs every tile as its own subprocess, so the in-RAM
+    # memo regenerates the identical dataset per tile (~110 s at 256
+    # 480x480 items on the 1-core suite host); sweep.py points this at a
+    # shared dir so generation happens once per suite. Keyed by the full
+    # generation signature — any parameter change misses cleanly.
+    _DISK_VERSION = 1  # bump when _generate's math changes
+
+    def _disk_key(self, index: int) -> str | None:
+        root = os.environ.get("MVP_SYNTH_DISK_CACHE")
+        if not root:
+            return None
+        h, w = self.image_size
+        return os.path.join(
+            root, f"{type(self).__name__}_v{self._DISK_VERSION}_s{self.seed}"
+                  f"_{h}x{w}_md{self.max_depth:g}_i{index}.npz")
+
+    def _disk_load(self, index: int):
+        path = self._disk_key(index)
+        if not path or not os.path.exists(path):
+            return None
+        try:
+            with np.load(path) as z:
+                return {k: z[k] for k in z.files}
+        except Exception:
+            return None  # partial write from a concurrent tile: regenerate
+
+    def _disk_store(self, index: int, item: dict) -> None:
+        path = self._disk_key(index)
+        if not path:
+            return
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = f"{path}.tmp{os.getpid()}"
+        try:
+            np.savez(tmp, **item)
+            os.replace(tmp, path)  # atomic vs concurrent sweep tiles
+        except OSError:
+            pass  # cache full/readonly: stay correct, just slower
+
+    def _generate(self, index):
         h, w = self.image_size
         rng = np.random.RandomState(self.seed * 100003 + index)
         # smooth depth field

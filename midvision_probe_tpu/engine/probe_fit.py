@@ -73,10 +73,14 @@ class ProbeTrainer:
     # Cache frozen features across epochs (requires a deterministic loader:
     # shuffle off, augment off): extraction runs once, later epochs train the
     # probe alone (the reference hot loop re-extracts every epoch,
-    # train_depth.py:104-110). Features are held host-side in bfloat16 under
-    # a RAM budget ($MVP_FEATURE_CACHE_GB, default 8 GiB) — batches past the
-    # budget simply recompute, so memory stays bounded at any dataset scale
-    # (full NYU would need ~350 GB raw).
+    # train_depth.py:104-110). Two tiers, both bfloat16: features stay
+    # ON-DEVICE under an HBM budget ($MVP_FEATURE_CACHE_DEVICE_GB, default
+    # 4 GiB) — a cache hit then feeds the jitted step resident arrays with
+    # zero host traffic (through the axon tunnel a host-tier hit costs
+    # ~170 MB/step of re-upload, slower than recomputing) — and spill
+    # host-side under a RAM budget ($MVP_FEATURE_CACHE_GB, default 8 GiB).
+    # Batches past both budgets simply recompute, so memory stays bounded
+    # at any dataset scale (full NYU would need ~350 GB raw).
     cache_features: bool = False
 
     def __post_init__(self):
@@ -85,6 +89,9 @@ class ProbeTrainer:
         self._cache_bytes = 0
         self._cache_budget = int(float(os.environ.get(
             "MVP_FEATURE_CACHE_GB", "8")) * 1024**3)
+        self._dev_cache_bytes = 0
+        self._dev_cache_budget = int(float(os.environ.get(
+            "MVP_FEATURE_CACHE_DEVICE_GB", "4")) * 1024**3)
         self._cache_full_warned = False
         self._extract_jit = None
         self.tap_norms = (
@@ -266,6 +273,20 @@ class ProbeTrainer:
             # epoch, so the enumeration index no longer identifies the
             # batch's composition
             bid = batch.pop("_batch_id", i)
+            cached = (self._feature_cache.get(bid)
+                      if self.cache_features else None)
+            if isinstance(cached, tuple):
+                # device-tier hit: features AND the sharded target batch
+                # are already resident, so the step runs with ZERO host
+                # traffic — decisive through the axon tunnel, where
+                # re-uploading a host-cached batch every step is slower
+                # than recomputing the extraction
+                feats, batch, n_valid = cached
+                self.state, loss = self._train_step(
+                    self.state, batch, n_valid, feats)
+                losses.append(loss)
+                self._log_step(losses, i, t0, log_every, logger, wandb)
+                continue
             # multi-host shard padding wraps a few leading samples; TRAIN
             # keeps the reference DistributedSampler's duplicate-sample
             # semantics (total_size=ceil(n/k)*k wrapped repeats), so the
@@ -282,24 +303,33 @@ class ProbeTrainer:
                 )
             if self.cache_features:
                 # the jitted cached step never reads the image (``feats``
-                # short-circuits ``_forward``), so keep it host-side: on a
-                # cache hit this skips the largest host->device transfer in
-                # the batch (64x480x640x3 f32 ≈ 225 MB/step) — exactly the
-                # epochs the cache exists to accelerate
+                # short-circuits ``_forward``), so it never moves: on a
+                # miss the extraction consumes it, and hits skip the
+                # largest host->device transfer in the batch
+                # (64x480x640x3 f32 ≈ 225 MB/step) entirely
                 image = batch.pop("image")
                 batch = shard_batch(batch, self.mesh)
-                cached = self._feature_cache.get(bid)
                 if cached is None:
                     feats = self._extract(
                         shard_batch({"image": image}, self.mesh)["image"])
-                    size = sum(
-                        f.size * f.dtype.itemsize for f in feats)
-                    if self._cache_bytes + size <= self._cache_budget:
-                        # np.asarray keeps bfloat16 (ml_dtypes) — same dtype
-                        # on both paths, so the step never recompiles.
-                        # Multi-process: each host caches ITS shard's rows
-                        # (a global array can't be fetched whole); the
-                        # serve path reassembles via shard_batch ->
+                    size = sum(f.size * f.dtype.itemsize for f in feats)
+                    size += sum(v.size * v.dtype.itemsize
+                                for v in jax.tree_util.tree_leaves(batch))
+                    if self._dev_cache_bytes + size <= self._dev_cache_budget:
+                        # device tier: hold the extracted jax.Arrays and
+                        # the sharded target batch (both already carrying
+                        # the shardings the jitted step expects; the step
+                        # only donates the state, never its inputs)
+                        self._feature_cache[bid] = (list(feats), batch,
+                                                    n_valid)
+                        self._dev_cache_bytes += size
+                    elif self._cache_bytes + size <= self._cache_budget:
+                        # host spill tier (features only). np.asarray keeps
+                        # bfloat16 (ml_dtypes) — same dtype on both paths,
+                        # so the step never recompiles. Multi-process: each
+                        # host caches ITS shard's rows (a global array
+                        # can't be fetched whole); the serve path
+                        # reassembles via shard_batch ->
                         # make_array_from_process_local_data.
                         self._feature_cache[bid] = [_host_local_rows(f)
                                                     for f in feats]
@@ -307,14 +337,17 @@ class ProbeTrainer:
                     elif logger and not self._cache_full_warned:
                         self._cache_full_warned = True
                         logger.warning(
-                            "feature cache budget reached (%.1f GiB, "
-                            "$MVP_FEATURE_CACHE_GB) — later batches "
-                            "recompute", self._cache_budget / 1024**3)
+                            "feature cache budgets reached (device %.1f "
+                            "GiB $MVP_FEATURE_CACHE_DEVICE_GB + host %.1f "
+                            "GiB $MVP_FEATURE_CACHE_GB) — later batches "
+                            "recompute", self._dev_cache_budget / 1024**3,
+                            self._cache_budget / 1024**3)
                 else:
-                    # commit cache hits with the SAME data-axis sharding the
-                    # jitted extract produces — a bare device_put lands on
-                    # one device and forces a second train-step executable
-                    # (plus per-step resharding) on any multi-device mesh
+                    # host tier: commit hits with the SAME data-axis
+                    # sharding the jitted extract produces — a bare
+                    # device_put lands on one device and forces a second
+                    # train-step executable (plus per-step resharding) on
+                    # any multi-device mesh
                     feats = shard_batch(list(cached), self.mesh)
                 self.state, loss = self._train_step(
                     self.state, batch, n_valid, feats)
@@ -323,15 +356,18 @@ class ProbeTrainer:
                 self.state, loss = self._train_step(
                     self.state, batch, n_valid, self.bb_vars)
             losses.append(loss)
-            if logger and (i + 1) % log_every == 0:
-                lv = float(jnp.mean(jnp.stack(losses[-log_every:])))
-                logger.info(
-                    "step %d | loss %.4f | %.2f it/s",
-                    int(self.state.step), lv, (i + 1) / (time.time() - t0),
-                )
-            if wandb:  # stub is falsy: avoid a per-step host fetch
-                wandb.log({"loss_batch": float(loss)})
+            self._log_step(losses, i, t0, log_every, logger, wandb)
         return float(jnp.mean(jnp.stack(losses))) if losses else float("nan")
+
+    def _log_step(self, losses, i, t0, log_every, logger, wandb) -> None:
+        if logger and (i + 1) % log_every == 0:
+            lv = float(jnp.mean(jnp.stack(losses[-log_every:])))
+            logger.info(
+                "step %d | loss %.4f | %.2f it/s",
+                int(self.state.step), lv, (i + 1) / (time.time() - t0),
+            )
+        if wandb:  # stub is falsy: avoid a per-step host fetch
+            wandb.log({"loss_batch": float(losses[-1])})
 
     def _pad(self, batch: dict) -> tuple[dict, int | None]:
         """Pad the batch dim to a multiple of the data-axis size by repeating
@@ -410,13 +446,19 @@ class ProbeTrainer:
         same contract as single-process."""
         from midvision_probe_tpu.parallel import multihost
 
+        # metric_fn is pure jnp of (pred, batch): run it JITTED. Eagerly,
+        # its several hundred ops each pay a device round trip — through
+        # the axon tunnel that made the metric pass, not the forward, the
+        # eval bottleneck (12 of 13 eval minutes on the r5 suite smoke) —
+        # and fetch the whole metric dict in ONE device_get per batch.
+        jit_metric_fn = jax.jit(metric_fn)
         acc: dict[str, list] = {}
         for i, batch in enumerate(loader):
             if max_batches is not None and i >= max_batches:
                 break
             valid = batch.pop("_valid", None)
             pred = self.predict(batch)
-            metrics = metric_fn(pred, _to_jnp(batch))
+            metrics = jax.device_get(jit_metric_fn(pred, _to_jnp(batch)))
             for k, v in metrics.items():
                 v = np.asarray(v).reshape(-1)
                 if valid is not None:

@@ -3,6 +3,8 @@ polarity, torch-parity resize guard, multi-process mesh slice guard,
 driver build_loader positional shard args, and the cached-epoch
 image-transfer elision."""
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -119,3 +121,84 @@ def test_binary_mask_rows_shard_equivalence(rng):
     for k in full:
         merged = a[k] + b[k]
         assert abs(sum(merged) / len(merged) - full[k]) < 1e-12
+
+
+# ------------------------------------------------ feature-cache device tier
+def _cache_trainer(monkeypatch, device_gb, host_gb="8"):
+    import sys, os
+    monkeypatch.setenv("MVP_FEATURE_CACHE_DEVICE_GB", device_gb)
+    monkeypatch.setenv("MVP_FEATURE_CACHE_GB", host_gb)
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_r3_fixes import _make_trainer
+
+    t = _make_trainer(num_devices=1)
+    t = type(t)(backbone=t.backbone, probe=t.probe, loss_fn=t.loss_fn,
+                n_steps=4, warmup_steps=1.0, num_devices=1, seed=0,
+                cache_features=True)
+    return t
+
+
+def test_feature_cache_device_tier_matches_host_tier(rng, monkeypatch):
+    """The on-device feature-cache tier (zero host traffic on hits — the
+    host tier re-uploads every cached batch, which through the axon tunnel
+    is slower than recomputing) must be bit-equivalent to the host tier:
+    same cached bf16 features, same epoch-2 losses and params."""
+    batch = {
+        "image": rng.rand(8, 32, 32, 3).astype(np.float32),
+        "depth": (rng.rand(8, 32, 32, 1).astype(np.float32) * 9 + 0.5),
+    }
+
+    t_dev = _cache_trainer(monkeypatch, device_gb="4")
+    t_host = _cache_trainer(monkeypatch, device_gb="0")
+    t_dev.init(batch)
+    t_host.init(batch)
+
+    losses = {}
+    for name, t in (("dev", t_dev), ("host", t_host)):
+        l1 = t.train_epoch([dict(batch)])
+        l2 = t.train_epoch([dict(batch)])  # served from the cache
+        losses[name] = (l1, l2)
+
+    # tier placement is what each configuration says it is: the device
+    # entry is (feats, sharded target batch, n_valid) — a hit feeds the
+    # step fully-resident inputs — the host entry is feature rows only
+    (dev_entry,) = t_dev._feature_cache.values()
+    (host_entry,) = t_host._feature_cache.values()
+    dev_feats, dev_batch, dev_nv = dev_entry
+    assert all(isinstance(f, jax.Array) for f in dev_feats)
+    assert all(isinstance(v, jax.Array) for v in dev_batch.values())
+    assert "image" not in dev_batch and dev_nv is None
+    assert all(isinstance(f, np.ndarray) for f in host_entry)
+    assert t_dev._dev_cache_bytes > 0 and t_dev._cache_bytes == 0
+    assert t_host._dev_cache_bytes == 0 and t_host._cache_bytes > 0
+
+    np.testing.assert_allclose(losses["dev"][0], losses["host"][0], atol=0)
+    np.testing.assert_allclose(losses["dev"][1], losses["host"][1], atol=0)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=0),
+        t_dev.state.params, t_host.state.params)
+
+
+def test_synthetic_memo_and_disk_cache(tmp_path, monkeypatch):
+    """Synthetic items are pure functions of (seed, index): the in-RAM memo
+    must return equal items without regeneration and isolate consumer key
+    pops; the opt-in disk tier ($MVP_SYNTH_DISK_CACHE) must round-trip
+    bit-exactly across dataset instances (the cross-sweep-tile case)."""
+    from midvision_probe_tpu.datasets.synthetic import SyntheticDepth
+
+    monkeypatch.setenv("MVP_SYNTH_DISK_CACHE", str(tmp_path))
+    a = SyntheticDepth(4, (32, 32), seed=5)[2]
+    a_pop = SyntheticDepth(4, (32, 32), seed=5)
+    item = a_pop[2]
+    item.pop("image")
+    assert "image" in a_pop[2]  # pop did not leak into the memo
+
+    b = SyntheticDepth(4, (32, 32), seed=5)  # fresh instance: disk hit
+    for k, v in a.items():
+        np.testing.assert_array_equal(v, b[2][k])
+    assert any(f.endswith(".npz") for f in os.listdir(tmp_path))
+
+    # different generation signature must miss (distinct key)
+    c = SyntheticDepth(4, (32, 32), seed=6)[2]
+    assert not np.array_equal(a["depth"], c["depth"])
