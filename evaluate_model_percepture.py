@@ -73,16 +73,25 @@ def run(cfg, dataset=None):
     # weights as jit arguments (closures inline them into the compile RPC)
     embed = lambda images: _embed(model.device_variables, images)  # noqa: E731
 
+    # multi-process: each host scores its triplet shard; (gt, pred) rows
+    # allgather before compute_metrics so every rank reports full-dataset
+    # numbers, with wrapped shard-padding rows dropped (same contract as
+    # the NAVI/ScanNet drivers)
+    from midvision_probe_tpu.parallel import multihost
+
+    shard = multihost.process_shard_args()
     if dataset is not None:
         from midvision_probe_tpu.datasets.builder import Loader
 
-        loader = Loader(dataset, cfg.batch_size)
+        loader = Loader(dataset, cfg.batch_size, **shard)
     else:
         loader = build_loader(cfg.dataset, cfg.get("split", "test"),
-                              cfg.batch_size)
+                              cfg.batch_size, **shard)
 
     gts, preds = [], []
     for batch in loader:
+        keep = np.asarray(batch.pop("_valid",
+                                    np.ones(len(batch["p"]), bool)))
         imgs = np.concatenate(
             [batch["img_ref"], batch["img_left"], batch["img_right"]], axis=0
         )
@@ -90,13 +99,20 @@ def run(cfg, dataset=None):
         b = batch["img_ref"].shape[0]
         ref, left, right = feats[:b], feats[b:2 * b], feats[2 * b:]
         pred = choose_2afc(ref, left, right)
-        gts.extend(batch["p"].tolist())
-        preds.extend(pred.tolist())
+        gts.extend(np.asarray(batch["p"])[keep].tolist())
+        preds.extend(np.asarray(pred)[keep].tolist())
 
-    metrics = compute_metrics(gts, preds)
+    gathered = multihost.gather_metrics({
+        "gt": np.asarray(gts, np.float64),
+        "pred": np.asarray(preds, np.float64),
+    })
+    metrics = compute_metrics(gathered["gt"].tolist(),
+                              gathered["pred"].tolist())
     logger.info("2AFC acc %.4f f1 %.4f p %.4f r %.4f", metrics["accuracy"],
                 metrics["f1_score"], metrics["precision"], metrics["recall"])
 
+    if jax.process_index() != 0:  # CSV is a rank-0 sink (one row per sweep)
+        return metrics
     os.makedirs(cfg.output_dir, exist_ok=True)
     CSVWriter(os.path.join(cfg.output_dir, "final_results_summary.csv")
               ).append({

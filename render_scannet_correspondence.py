@@ -21,12 +21,14 @@ from midvision_probe_tpu.datasets.builder import Loader
 from midvision_probe_tpu.datasets.scannet_pairs import ScanNetPairsDataset
 from midvision_probe_tpu.evaluators.geometric import scannet_batch_errors
 from midvision_probe_tpu.evaluators.spair import make_feature_fn
+from midvision_probe_tpu.parallel import multihost
 from midvision_probe_tpu.utils.logging import CSVWriter, setup_logger
 from midvision_probe_tpu.utils.metrics import compute_binned_performance
 from midvision_probe_tpu.utils.transformations import so3_rotation_angle
 
 
 def run(cfg, dataset=None):
+    import jax
     import jax.numpy as jnp
 
     from midvision_probe_tpu.datasets.transforms import resize_nearest
@@ -43,7 +45,12 @@ def run(cfg, dataset=None):
         else:
             dataset = ScanNetPairsDataset(root=cfg.get("scannet_root",
                                                        "data/scannet_test_1500"))
-    loader = Loader(dataset, cfg.get("batch_pairs", 4))
+    # multi-process: each host evaluates its pair shard (wrapped padding
+    # rows dropped below); error rows allgather before the recall math and
+    # the CSV is rank-0-only, like the NAVI driver. Pair renders stay
+    # per-host over the host's own shard (shard-local render_every cadence).
+    loader = Loader(dataset, cfg.get("batch_pairs", 4),
+                    **multihost.process_shard_args())
 
     sf = cfg.scale_factor
     render_every = int(cfg.get("render_every", 10))  # ref: i % 10 == 0
@@ -55,6 +62,8 @@ def run(cfg, dataset=None):
     err_3d, err_2d, valid, rel_ang = [], [], [], []
     seen = 0
     for batch in loader:
+        keep = np.asarray(batch.pop("_valid",
+                                    np.ones(len(batch["rgb_0"]), bool)))
         f0 = feature_fn(jnp.asarray(batch["rgb_0"]))
         f1 = feature_fn(jnp.asarray(batch["rgb_1"]))
         hw = (int(batch["depth_0"].shape[1] * sf),
@@ -75,11 +84,11 @@ def run(cfg, dataset=None):
         ang = np.degrees(np.asarray(
             so3_rotation_angle(jnp.asarray(Rt_01[:, :3, :3]))
         ))
-        err_3d.append(e3)
+        err_3d.append(e3[keep])
         # reference reports 2D error in downscaled-pixel units for recall
-        err_2d.append(e2)
-        valid.append(ok)
-        rel_ang.append(ang)
+        err_2d.append(e2[keep])
+        valid.append(ok[keep])
+        rel_ang.append(ang[keep])
 
         # qualitative pair renders, every `render_every`-th instance
         # (reference render_scannet_correspondence.py:224-245)
@@ -89,8 +98,8 @@ def run(cfg, dataset=None):
                 visualize_and_save_correspondences,
             )
 
-            for b in range(e3.shape[0]):
-                idx = seen + b
+            for j, b in enumerate(np.flatnonzero(keep)):
+                idx = seen + j
                 if idx % render_every:
                     continue
                 inst_dir = os.path.join(render_dir, f"instance_{idx}")
@@ -104,12 +113,17 @@ def run(cfg, dataset=None):
                 )
                 save_correspondence_json(e2[b][sel], e3[b][sel], ang[b],
                                          inst_dir)
-        seen += e3.shape[0]
+        seen += int(keep.sum())
 
-    err_3d = np.concatenate(err_3d)
-    err_2d = np.concatenate(err_2d)
-    valid = np.concatenate(valid)
-    rel_ang = np.concatenate(rel_ang)
+    gathered = multihost.gather_metrics({
+        "err_3d": np.concatenate(err_3d),
+        "err_2d": np.concatenate(err_2d),
+        "valid": np.concatenate(valid),
+        "rel_ang": np.concatenate(rel_ang),
+    })
+    err_3d, err_2d = gathered["err_3d"], gathered["err_2d"]
+    valid = gathered["valid"].astype(bool)
+    rel_ang = gathered["rel_ang"]
     # recalls over REAL matches only (see navi_batch_errors docstring)
     n_valid = max(int(valid.sum()), 1)
     nv_pair = np.maximum(valid.sum(axis=1), 1)
@@ -132,6 +146,8 @@ def run(cfg, dataset=None):
     for i, acc in enumerate(bins):
         row[f"Bin Rec {i * 30}-{(i + 1) * 30}°"] = f"{acc * 100:5.02f}"
 
+    if jax.process_index() != 0:  # CSV is a rank-0 sink (one row per sweep)
+        return {"err_3d": err_3d, "err_2d": err_2d, "row": row}
     os.makedirs(cfg.output_dir, exist_ok=True)
     CSVWriter(os.path.join(cfg.output_dir,
                            "scannet_correspondence_final.csv")).append({
