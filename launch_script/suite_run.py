@@ -1,0 +1,260 @@
+#!/usr/bin/env python
+"""One-command full-suite run (VERDICT r3 next #1).
+
+Executes the COMPLETE product the reference ships — the reference's
+depth-sweep backbone list (``launch_depth.py:22-51``, 28 families) crossed
+with all six evaluation task families — as real driver subprocesses on the
+real chip, fast preset, synthetic data, producing the full CSV artifact
+set the reference's pipelines emit (``train_depth.py:806-829`` et al.)
+plus a measured-vs-projected wall-clock table.
+
+Per-(task, model) rows persist incrementally to ``<log-dir>/suite_rows.json``
+so an interrupted suite resumes where it stopped (``--resume``, default on).
+
+Usage:
+    python launch_script/suite_run.py                     # everything
+    python launch_script/suite_run.py --tasks depth navi  # subset
+    python launch_script/suite_run.py --models dino_b16 mae_b16
+    python launch_script/suite_run.py --report-only       # md from rows
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from sweep import DEFAULT_MODELS  # noqa: E402  (reference launch_depth list)
+
+SUITE_OUT = "/tmp/mvp_suite_r5"  # overridable via --suite-out (smokes must
+                                 # not pollute the real run's CSV artifacts)
+
+# task -> (driver, overrides). Trained probes use the fast preset
+# (linear probe + cached features + bf16, BASELINE.md suite levers) at the
+# protocol 480 resolution; eval tasks use the synthetic geometric datasets
+# at 224 (divisible by both patch 14 and 16 families).
+FAST = ["system.cache_features=true", "system.backbone_dtype=bfloat16",
+        "system.probe_dtype=bfloat16"]
+TRAIN_COMMON = ["dataset=synthetic", "dataset.num_instances=64",
+                "dataset.image_size=[480,480]", "optimizer=ten_epoch",
+                "batch_size=32", "+backbone.return_multilayer=True",
+                "wandb.use=False", "+render_images=False"] + FAST
+
+
+def task_plan(spair_root: str) -> dict:
+    return {
+        "depth": ("train_depth.py",
+                  TRAIN_COMMON + ["probe=depth_linear"]),
+        "snorm": ("train_snorm.py",
+                  TRAIN_COMMON + ["probe=snorm_linear"]),
+        "navi": ("evaluate_navi_correspondence.py",
+                 ["dataset=synthetic_navi", "dataset.num_instances=16",
+                  "dataset.image_size=224", "num_corr=100",
+                  "batch_pairs=4", "scale_factor=0.25"]),
+        "scannet": ("render_scannet_correspondence.py",
+                    ["dataset=synthetic_scannet", "dataset.num_instances=8",
+                     "dataset.image_hw=[224,224]", "num_corr=100",
+                     "batch_pairs=2", "scale_factor=0.25"]),
+        "spair": ("evaluate_spair_correspondence.py",
+                  [f"data_root={spair_root}", "image_size=480",
+                   "num_instances=8", "batch_pairs=4"]),
+        "percepture": ("evaluate_model_percepture.py",
+                       ["dataset=synthetic_twoafc",
+                        "dataset.num_instances=64",
+                        "dataset.image_size=[224,224]", "batch_size=32"]),
+    }
+
+
+def make_mini_spair(root: str, n_pairs: int = 4) -> str:
+    """Miniature SPair-71k tree in the reference on-disk layout
+    (reference ``evals/datasets/spair.py`` directory contract) — synthetic
+    stand-in for the real archive (zero egress), same schema as the
+    layout-test fixture (tests/test_spair.py)."""
+    import numpy as np
+    from PIL import Image
+
+    if os.path.exists(os.path.join(root, "PairAnnotation", "test")):
+        return root
+    rng = np.random.RandomState(8)
+    classes = {"cat": 8, "dog": 12, "chair": 9}
+    os.makedirs(os.path.join(root, "PairAnnotation", "test"), exist_ok=True)
+    pid = 0
+    for cls, cid in classes.items():
+        for d in ("JPEGImages", "Segmentation", "ImageAnnotation"):
+            os.makedirs(os.path.join(root, d, cls), exist_ok=True)
+        views = [f"v{i}" for i in range(n_pairs + 1)]
+        for v in views:
+            img = (rng.rand(96, 128, 3) * 255).astype(np.uint8)
+            Image.fromarray(img).save(
+                os.path.join(root, "JPEGImages", cls, f"{v}.jpg"))
+            seg = np.zeros((96, 128), np.uint8)
+            seg[16:80, 16:96] = cid
+            Image.fromarray(seg).save(
+                os.path.join(root, "Segmentation", cls, f"{v}.png"))
+            kps = {str(k): [int(20 + 10 * k + rng.randint(8)),
+                            int(24 + 8 * k + rng.randint(8))]
+                   for k in range(4)}
+            kps["4"] = None
+            json.dump({"filename": f"{v}.jpg", "kps": kps},
+                      open(os.path.join(root, "ImageAnnotation", cls,
+                                        f"{v}.json"), "w"))
+        for i in range(n_pairs):
+            pair = {
+                "filename": f"pair-{views[i]}-{views[i + 1]}:{cls}",
+                "category": cls,
+                "viewpoint_variation": i % 3,
+                "src_bndbox": [16, 16, 96, 80],
+                "trg_bndbox": [16, 16, 96, 80],
+                "trg_imsize": [128, 96],
+            }
+            json.dump(pair, open(os.path.join(
+                root, "PairAnnotation", "test", f"p{pid}.json"), "w"))
+            pid += 1
+    return root
+
+
+def run_one(task: str, driver: str, model: str, overrides: list,
+            log_dir: str) -> dict:
+    out_dir = os.path.join(SUITE_OUT, task)
+    cmd = [sys.executable, os.path.join(REPO, driver),
+           f"backbone={model}", f"output_dir={out_dir}"] + overrides
+    env = dict(os.environ)
+    env.setdefault("MVP_SYNTH_DISK_CACHE", "/tmp/mvp_synth_cache")
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/mvp_jax_cache")
+    env.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1.0")
+    os.makedirs(os.path.join(log_dir, task), exist_ok=True)
+    log_path = os.path.join(log_dir, task, f"{model}.log")
+    t0 = time.time()
+    with open(log_path, "w") as log:
+        ret = subprocess.call(cmd, stdout=log, stderr=subprocess.STDOUT,
+                              env=env, cwd=REPO)
+    return {"task": task, "model": model, "rc": ret,
+            "wall_s": round(time.time() - t0, 1)}
+
+
+def write_report(rows: list, out_md: str, log_dir: str):
+    tasks = sorted({r["task"] for r in rows})
+    models = []
+    for r in rows:  # preserve run order
+        if r["model"] not in models:
+            models.append(r["model"])
+    by = {(r["task"], r["model"]): r for r in rows}
+    total_s = sum(r["wall_s"] for r in rows)
+    n_fail = sum(1 for r in rows if r["rc"] != 0)
+
+    lines = [
+        "# Full-suite run — every backbone x every task family, one command",
+        "",
+        f"`python launch_script/suite_run.py` — {len(models)} backbones "
+        f"(the reference depth-sweep list, launch_depth.py:22-51) x "
+        f"{len(tasks)} task families, fast preset, synthetic data, real "
+        "TPU v5e (single chip, serial). Cells are wall seconds per driver "
+        "subprocess (compile+data+train/eval+CSV); **F** = nonzero exit.",
+        "",
+        "| backbone | " + " | ".join(tasks) + " |",
+        "|---" * (len(tasks) + 1) + "|",
+    ]
+    for m in models:
+        cells = []
+        for t in tasks:
+            r = by.get((t, m))
+            cells.append("—" if r is None else
+                         (f"{r['wall_s']:.0f}" if r["rc"] == 0
+                          else f"**F**({r['wall_s']:.0f})"))
+        lines.append(f"| {m} | " + " | ".join(cells) + " |")
+    per_task = {t: sum(r["wall_s"] for r in rows if r["task"] == t)
+                for t in tasks}
+    lines += [
+        "",
+        f"**Total observed wall-clock: {total_s / 3600:.2f} h** "
+        f"({len(rows)} runs, {n_fail} failures). Per task: "
+        + ", ".join(f"{t} {s / 3600:.2f} h" for t, s in per_task.items())
+        + ".",
+        "",
+        "## Measured vs projected",
+        "",
+        "The r4 projection (logs/suite_timing_r4.md) priced the trained-"
+        "probe suite from per-step times only. This run adds what the "
+        "projection could not see: per-run orchestration overhead "
+        "(python+jax startup, tunnel compile, loader setup, CSV/report "
+        "emission) measured per family, and proves the whole artifact "
+        "pipeline end-to-end — every cell above appended its row to the "
+        "task CSV (archived under logs/suite_r5/csv/).",
+    ]
+    med = sorted(r["wall_s"] for r in rows if r["rc"] == 0)
+    if med:
+        lines += [
+            "",
+            f"Median per-run wall {med[len(med) // 2]:.0f} s; the NYU-scale "
+            "fast-preset projection (0.49 h on v4-8) therefore gains "
+            f"~{len(models) * 2 * med[len(med) // 2] / 3600 / 4:.2f} h of "
+            "per-run overhead when priced per job on 4 chips "
+            "(overheads overlap chip compute when jobs are pipelined, so "
+            "this is an upper bound).",
+        ]
+    with open(out_md, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print(f"[suite] report -> {out_md}")
+
+
+def main(argv=None):
+    global SUITE_OUT
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--tasks", nargs="*", default=None)
+    ap.add_argument("--models", nargs="*", default=None)
+    ap.add_argument("--log-dir", default="logs/suite_r5")
+    ap.add_argument("--out", default="logs/suite_run_r5.md")
+    ap.add_argument("--no-resume", action="store_true")
+    ap.add_argument("--report-only", action="store_true")
+    ap.add_argument("--suite-out", default=SUITE_OUT)
+    args = ap.parse_args(argv)
+    SUITE_OUT = args.suite_out
+
+    os.makedirs(args.log_dir, exist_ok=True)
+    rows_path = os.path.join(args.log_dir, "suite_rows.json")
+    rows = []
+    if os.path.exists(rows_path) and not args.no_resume:
+        rows = json.load(open(rows_path))
+
+    if not args.report_only:
+        spair_root = make_mini_spair("/tmp/mvp_suite_spair")
+        plan = task_plan(spair_root)
+        tasks = args.tasks or list(plan)
+        models = args.models or DEFAULT_MODELS
+        done = {(r["task"], r["model"]) for r in rows if r["rc"] == 0}
+        todo = [(t, m) for m in models for t in tasks
+                if (t, m) not in done]
+        print(f"[suite] {len(todo)} runs to go "
+              f"({len(done)} already ok)", flush=True)
+        for i, (t, m) in enumerate(todo):
+            driver, overrides = plan[t]
+            row = run_one(t, driver, m, overrides, args.log_dir)
+            rows = [r for r in rows
+                    if not (r["task"] == t and r["model"] == m)] + [row]
+            json.dump(rows, open(rows_path, "w"), indent=1)
+            status = "ok" if row["rc"] == 0 else f"FAILED({row['rc']})"
+            print(f"[suite] {i + 1}/{len(todo)} {t}/{m}: {status} "
+                  f"in {row['wall_s']:.0f}s", flush=True)
+
+        # archive the CSV artifact set next to the logs
+        csv_dir = os.path.join(args.log_dir, "csv")
+        os.makedirs(csv_dir, exist_ok=True)
+        for p in glob.glob(os.path.join(SUITE_OUT, "*", "*.csv")):
+            shutil.copy(p, os.path.join(
+                csv_dir, os.path.basename(os.path.dirname(p)) + "_"
+                + os.path.basename(p)))
+
+    write_report(rows, args.out, args.log_dir)
+    return 1 if any(r["rc"] != 0 for r in rows) else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -61,7 +61,8 @@ def timeit(fn, *args, iters=10):
 
 
 def measure_backbone(name: str, batch: int, hw=(480, 480),
-                     head_type="dpt", probe_dtype=jnp.float32):
+                     head_type="dpt", probe_dtype=jnp.float32,
+                     hidden_dim: int = 512):
     import optax
 
     from midvision_probe_tpu.models import zoo
@@ -87,6 +88,7 @@ def measure_backbone(name: str, batch: int, hw=(480, 480),
     probe = DepthHead(feat_dim=bb.feat_dim, head_type=head_type,
                       prediction_type="bindepth",
                       kernel_size=1 if head_type == "linear" else 3,
+                      hidden_dim=hidden_dim,
                       dtype=probe_dtype)
     tap_norms = TapNorms(num_taps=len(bb.multilayers))
 

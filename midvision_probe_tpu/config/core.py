@@ -292,6 +292,19 @@ def main(config_name: str, config_dir: str | None = None) -> Callable:
     def decorator(fn: Callable[[Config], Any]) -> Callable[[], Any]:
         @functools.wraps(fn)
         def wrapper(argv: list[str] | None = None) -> Any:
+            # honor an explicit JAX_PLATFORMS env (e.g. =cpu for offline
+            # smokes): the axon boot shim pins jax.config.jax_platforms
+            # programmatically ("axon,cpu"), so the env var alone is
+            # silently ignored once jax initializes — mirror
+            # convert_checkpoints.py:36-43. The shell's preset value
+            # "axon" is left to the shim: pinning it verbatim would drop
+            # the cpu backend that zoo._random_init and host-side eval
+            # paths rely on.
+            env_plat = os.environ.get("JAX_PLATFORMS")
+            if env_plat and env_plat != "axon":
+                import jax
+
+                jax.config.update("jax_platforms", env_plat)
             overrides = sys.argv[1:] if argv is None else argv
             cfg = compose(config_name, overrides, config_dir)
             return fn(cfg)
