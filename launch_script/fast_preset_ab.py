@@ -60,6 +60,10 @@ ARMS = [
     # these two as the <1 h candidates: lower res, and a half-width decoder
     ("dpt-160", "depth_dpt", "ten_epoch", "dpt", 160, 512),
     ("dpt-240-hd256", "depth_dpt", "ten_epoch", "dpt", 240, 256),
+    # both single cuts held accuracy (160: -0.0043, hd256@240: -0.0066) but
+    # neither meets <1 h alone — combine them (and a 192 midpoint)
+    ("dpt-160-hd256", "depth_dpt", "ten_epoch", "dpt", 160, 256),
+    ("dpt-192-hd256", "depth_dpt", "ten_epoch", "dpt", 192, 256),
     ("fast-linear", "depth_linear", "ten_epoch", "linear", None, 512),
 ]
 

@@ -134,8 +134,14 @@ def run_one(task: str, driver: str, model: str, overrides: list,
     log_path = os.path.join(log_dir, task, f"{model}.log")
     t0 = time.time()
     with open(log_path, "w") as log:
-        ret = subprocess.call(cmd, stdout=log, stderr=subprocess.STDOUT,
-                              env=env, cwd=REPO)
+        # bounded: a wedged tunnel compile must not stall the whole suite
+        # (fresh B-sized compiles are <10 min; 40 min is pathological)
+        try:
+            ret = subprocess.call(cmd, stdout=log, stderr=subprocess.STDOUT,
+                                  env=env, cwd=REPO, timeout=2400)
+        except subprocess.TimeoutExpired:
+            ret = 124
+            log.write("\n[suite] KILLED: exceeded 2400 s cell budget\n")
     return {"task": task, "model": model, "rc": ret,
             "wall_s": round(time.time() - t0, 1)}
 
@@ -243,6 +249,9 @@ def main(argv=None):
             status = "ok" if row["rc"] == 0 else f"FAILED({row['rc']})"
             print(f"[suite] {i + 1}/{len(todo)} {t}/{m}: {status} "
                   f"in {row['wall_s']:.0f}s", flush=True)
+            # keep the report current so an interrupted suite still
+            # leaves a coherent artifact (rows JSON + md regenerate)
+            write_report(rows, args.out, args.log_dir)
 
         # archive the CSV artifact set next to the logs
         csv_dir = os.path.join(args.log_dir, "csv")
