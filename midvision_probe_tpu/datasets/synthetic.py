@@ -89,7 +89,11 @@ class SyntheticDepth:
         if not path:
             return
         os.makedirs(os.path.dirname(path), exist_ok=True)
-        tmp = f"{path}.tmp{os.getpid()}"
+        # np.savez APPENDS ".npz" to names lacking it — the tmp name must
+        # already carry the suffix or os.replace targets a file that was
+        # never written (the miss is silent: FileNotFoundError is an
+        # OSError) and the cache never commits
+        tmp = f"{path}.tmp{os.getpid()}.npz"
         try:
             np.savez(tmp, **item)
             os.replace(tmp, path)  # atomic vs concurrent sweep tiles

@@ -194,11 +194,22 @@ def test_synthetic_memo_and_disk_cache(tmp_path, monkeypatch):
     item.pop("image")
     assert "image" in a_pop[2]  # pop did not leak into the memo
 
-    b = SyntheticDepth(4, (32, 32), seed=5)  # fresh instance: disk hit
-    for k, v in a.items():
-        np.testing.assert_array_equal(v, b[2][k])
-    assert any(f.endswith(".npz") for f in os.listdir(tmp_path))
+    # the store must COMMIT to the exact keyed path (np.savez appends
+    # ".npz" to suffixless names — a tmp name without the suffix makes
+    # os.replace silently miss and the cache never hits, r4 bug) and
+    # leave no orphaned tmp files behind
+    key = os.path.basename(a_pop._disk_key(2))
+    assert os.path.exists(tmp_path / key)
+    assert [f for f in os.listdir(tmp_path) if ".tmp" in f] == []
 
     # different generation signature must miss (distinct key)
     c = SyntheticDepth(4, (32, 32), seed=6)[2]
     assert not np.array_equal(a["depth"], c["depth"])
+
+    b = SyntheticDepth(4, (32, 32), seed=5)  # fresh instance: disk hit
+    monkeypatch.setattr(
+        SyntheticDepth, "_generate",
+        lambda self, i: (_ for _ in ()).throw(
+            AssertionError("disk tier missed: item regenerated")))
+    for k, v in a.items():
+        np.testing.assert_array_equal(v, b[2][k])
