@@ -649,14 +649,34 @@ def DeIT(model_size="base", img_size=384, output="dense", layer=-1,
     )
 
 
+# config-surface spellings that differ from the ZOO registry keys
+# (configs/backbone/{deepcluster-v2,sela-v2}_resnet50.yaml)
+_RESNET_NAME_ALIASES = {
+    "deepcluster_v2_resnet50": "deepclusterv2_resnet50",
+    "sela_v2_resnet50": "selav2_resnet50",
+}
+
+
 def _resnet_wrapper(zoo_name: str):
     def ctor(arch="resnet50", return_layers=None, output="dense",
-             return_multilayer=False, add_norm=False, return_cls=False, **kw):
+             return_multilayer=False, add_norm=False, return_cls=False,
+             checkpoint_name=None, **kw):
         kw.pop("dino_name", None)
         kw.pop("model_name", None)
         _clean(kw)
+        # every backbone YAML carries checkpoint_name; honor it (it can
+        # retarget the wrapper like DINO's) but fail loudly on a name that
+        # resolves to nothing — silent fallback would train against the
+        # wrong frozen features
+        name = _RESNET_NAME_ALIASES.get(checkpoint_name,
+                                        checkpoint_name) or zoo_name
+        if name not in ZOO:
+            raise KeyError(
+                f"checkpoint_name={checkpoint_name!r} is not a zoo entry "
+                f"(wrapper default {zoo_name!r}); known resnet entries: "
+                + ", ".join(k for k in ZOO if "resnet" in k))
         return build_resnet_extractor(
-            zoo_name, output=output, return_layers=return_layers,
+            name, output=output, return_layers=return_layers,
             return_multilayer=return_multilayer, add_norm=add_norm,
             return_cls=return_cls, **kw,
         )

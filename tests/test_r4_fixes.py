@@ -213,3 +213,47 @@ def test_synthetic_memo_and_disk_cache(tmp_path, monkeypatch):
             AssertionError("disk tier missed: item regenerated")))
     for k, v in a.items():
         np.testing.assert_array_equal(v, b[2][k])
+
+
+_BACKBONE_CONFIGS = sorted(
+    p.stem for p in __import__("pathlib").Path("configs/backbone").glob("*.yaml"))
+
+
+@pytest.mark.parametrize("name", _BACKBONE_CONFIGS)
+def test_every_backbone_config_instantiates(name, monkeypatch):
+    """Every configs/backbone YAML must plumb through the driver's
+    build_backbone into a zoo builder with a registered name (r4 suite bug:
+    all 17 resnet configs crashed on the checkpoint_name key the wrapper
+    ctors never accepted — no test drove backbones through the CONFIG
+    path). Builders are stubbed: this pins ctor kwarg handling and name
+    resolution, not weights/params (tests/test_zoo.py covers forwards)."""
+    from midvision_probe_tpu.config import compose
+    from midvision_probe_tpu.engine.driver_common import build_backbone
+    from midvision_probe_tpu.models import zoo
+    from midvision_probe_tpu.models.sd import featurizer as sd_feat
+
+    seen = {}
+
+    def stub(builder):
+        def fake(*a, **kw):
+            zoo_name = a[0] if a else kw.get("name")
+            assert zoo_name in zoo.ZOO, (
+                f"{builder} got unregistered name {zoo_name!r}")
+            seen["name"] = zoo_name
+            return f"stub:{zoo_name}"
+        return fake
+
+    for b in ("build_vit_extractor", "build_resnet_extractor",
+              "build_convnext_extractor", "build_sam_extractor"):
+        monkeypatch.setattr(zoo, b, stub(b))
+    for cls in ("DIFT", "Zero123"):
+        monkeypatch.setattr(
+            sd_feat, cls,
+            lambda *a, _c=cls, **kw: seen.update(name=_c) or f"stub:{_c}")
+
+    cfg = compose("depth_training", [
+        f"backbone={name}", "dataset=synthetic", "probe=depth_linear",
+        "system.backbone_dtype=bfloat16"])
+    out = build_backbone(cfg, needs_multilayer=True)
+    assert str(out).startswith("stub:"), out
+    assert seen["name"]
