@@ -257,3 +257,45 @@ def test_every_backbone_config_instantiates(name, monkeypatch):
     out = build_backbone(cfg, needs_multilayer=True)
     assert str(out).startswith("stub:"), out
     assert seen["name"]
+
+
+_PROBE_DRIVER_KWARGS = {
+    # mirror each trainer's instantiate() kwargs exactly
+    "depth_linear": ("depth_training", {"feat_dim": [32] * 4, "max_depth": 10.0}),
+    "depth_dpt": ("depth_training", {"feat_dim": [32] * 4, "max_depth": 10.0}),
+    "depth_multiscale": ("depth_training",
+                         {"feat_dim": [32] * 4, "max_depth": 10.0}),
+    "depth_dpt_taskonomy": ("taskonomy_training",
+                            {"feat_dim": [32] * 4, "output_dim": 3}),
+    "snorm_linear": ("snorm_training", {"feat_dim": [32] * 4}),
+    "snorm_dpt": ("snorm_training", {"feat_dim": [32] * 4}),
+    "snorm_multiscale": ("snorm_training", {"feat_dim": [32] * 4}),
+    "binaryhead": ("objectness_train", {"feat_dim": [32] * 4}),
+    "taskonomy_dpt": ("taskonomy_training", {"feat_dim": [32] * 4}),
+}
+
+
+@pytest.mark.parametrize("name", sorted(_PROBE_DRIVER_KWARGS))
+def test_every_probe_config_instantiates(name):
+    """Every configs/probe YAML must instantiate with the exact kwargs its
+    trainer passes (same class of config-path gap as the resnet
+    checkpoint_name crash: nothing drove some probe YAMLs through
+    instantiate())."""
+    from midvision_probe_tpu.config import compose, instantiate
+
+    exp, kwargs = _PROBE_DRIVER_KWARGS[name]
+    cfg = compose(exp, [f"probe={name}", "dataset=synthetic",
+                        "backbone=test_tiny"])
+    if "output_dim" in kwargs and "output_dim" not in cfg.probe:
+        kwargs = {k: v for k, v in kwargs.items() if k != "output_dim"}
+    probe = instantiate(cfg.probe, **kwargs)
+    assert probe is not None
+
+
+def test_probe_yaml_list_is_covered():
+    """Fail when a new probe YAML lands without a plumbing case above."""
+    import pathlib
+
+    stems = {p.stem for p in pathlib.Path("configs/probe").glob("*.yaml")}
+    assert stems == set(_PROBE_DRIVER_KWARGS), (
+        stems ^ set(_PROBE_DRIVER_KWARGS))
