@@ -97,6 +97,13 @@ def run(cfg, dataset=None):
         "Num Errors": len(errors),
         **{k: f"{v:.4f}" for k, v in metrics.items()},
     })
+    # deliberate tightening over the reference (which only logs): when
+    # EVERY image failed the run proved nothing — exit nonzero so sweeps
+    # and the suite runner surface it instead of recording 0.0 metrics
+    if n_ok == 0 and len(dataset) > 0:
+        raise SystemExit(
+            f"maskcut: all {len(errors)} images failed (first: "
+            f"{errors[0] if errors else 'n/a'})")
     return metrics
 
 

@@ -49,6 +49,14 @@ TRAIN_COMMON = ["dataset=synthetic", "dataset.num_instances=64",
                 "wandb.use=False", "+render_images=False"] + FAST
 
 
+# beyond the 6 headline families: the remaining reference driver families.
+# NOT in the default task list (168-cell main pass stays the artifact the
+# projection priced); run explicitly on a representative subset, e.g.
+#   suite_run.py --tasks objectness taskonomy maskcut \
+#                --models dino_b16 simclr_resnet50
+EXTRA_TASKS = ("objectness", "taskonomy", "maskcut")
+
+
 def task_plan(spair_root: str) -> dict:
     return {
         "depth": ("train_depth.py",
@@ -70,6 +78,23 @@ def task_plan(spair_root: str) -> dict:
                        ["dataset=synthetic_twoafc",
                         "dataset.num_instances=64",
                         "dataset.image_size=[224,224]", "batch_size=32"]),
+        # ---- EXTRA_TASKS (explicit --tasks only) ----
+        "objectness": ("train_generic_objectness.py",
+                       ["dataset=synthetic_voc", "dataset.num_instances=64",
+                        "dataset.image_size=[480,480]",
+                        "optimizer=ten_epoch", "batch_size=32",
+                        "+backbone.return_multilayer=True",
+                        "wandb.use=False"] + FAST),
+        "taskonomy": ("train_taskonomy.py",
+                      ["dataset=taskonomy", "+dataset.num_instances=64",
+                       "+dataset.image_size=[480,480]",
+                       "optimizer=ten_epoch", "batch_size=32",
+                       "+backbone.return_multilayer=True",
+                       "wandb.use=False"] + FAST),
+        "maskcut": ("evaluate_generic_objectness.py",
+                    ["dataset=synthetic_voc", "dataset.num_instances=8",
+                     "dataset.image_size=[224,224]",
+                     "maskcut.fixed_size=224", "max_images=8"]),
     }
 
 
@@ -233,7 +258,7 @@ def main(argv=None):
     if not args.report_only:
         spair_root = make_mini_spair("/tmp/mvp_suite_spair")
         plan = task_plan(spair_root)
-        tasks = args.tasks or list(plan)
+        tasks = args.tasks or [t for t in plan if t not in EXTRA_TASKS]
         models = args.models or DEFAULT_MODELS
         done = {(r["task"], r["model"]) for r in rows if r["rc"] == 0}
         todo = [(t, m) for m in models for t in tasks

@@ -188,6 +188,10 @@ class SyntheticBinaryMask:
         image += rng.randn(h, w, 3).astype(np.float32) * 0.05
         return {
             "image": image,
+            # un-normalized [0,1] copy, like voc.py:79 — MaskCut consumes
+            # raw_image and the driver deliberately swallows per-image
+            # errors, so a missing key silently zeroes the whole eval
+            "raw_image": np.clip(image, 0.0, 1.0),
             "mask": mask[..., None],
             "num_objects": np.int32(1),
         }

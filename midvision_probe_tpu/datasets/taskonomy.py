@@ -137,10 +137,13 @@ def Taskonomy(
     center_crop=False,
     rotateflip=False,
     augment_train=False,
+    num_instances=16,
+    image_size=(64, 64),
     **_,
 ):
     """Factory (``taskonomy.py:30-58``): HF dataset dir on disk, else
-    synthetic fallback."""
+    synthetic fallback (``num_instances``/``image_size`` size the fallback
+    only — the on-disk dataset ignores them)."""
     import os
 
     path = snorm_path if task == "normal" else other_path
@@ -152,4 +155,6 @@ def Taskonomy(
             ds = ds[split]
         return TaskonomyDataset(ds, task)
     seed = {"train": 0, "valid": 1, "test": 2}.get(split, 0)
-    return TaskonomyDataset(_SyntheticTaskonomy(task, seed=seed), task)
+    return TaskonomyDataset(
+        _SyntheticTaskonomy(task, num_instances=int(num_instances),
+                            image_size=tuple(image_size), seed=seed), task)

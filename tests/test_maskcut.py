@@ -81,19 +81,45 @@ def test_objectness_eval_driver(tmp_path):
         ["backbone=test_tiny", "max_images=2", f"output_dir={tmp_path}"],
     )
 
-    class _DS(SyntheticBinaryMask):
+    # the dataset itself must carry raw_image (voc.py:79 schema): the old
+    # patched-in copy here hid a missing key that zeroed the whole eval
+    # through the driver's reference-mandated per-image error swallowing
+    ds = SyntheticBinaryMask(4, (64, 64))
+    item = ds[0]
+    assert "raw_image" in item
+    assert item["raw_image"].min() >= 0.0 and item["raw_image"].max() <= 1.0
+
+    metrics = drv.run(cfg, dataset=ds)
+    for k in ("F-measure", "IoU", "Accuracy", "CorLoc"):
+        assert 0.0 <= metrics[k] <= 1.0
+
+
+def test_objectness_eval_driver_fails_when_all_images_fail(tmp_path):
+    """rc=0 with every image swallowed is a suite trap — the driver must
+    exit nonzero when n_ok == 0 (deliberate tightening over the
+    reference's log-only behavior)."""
+    import pytest
+
+    from midvision_probe_tpu.config import compose
+    from midvision_probe_tpu.datasets.synthetic import SyntheticBinaryMask
+
+    import evaluate_generic_objectness as drv
+
+    cfg = compose(
+        "objectness_eval",
+        ["backbone=test_tiny", "max_images=2", f"output_dir={tmp_path}"],
+    )
+
+    class _Broken(SyntheticBinaryMask):
         name = "synthetic_voc"
 
         def __getitem__(self, i):
             item = super().__getitem__(i)
-            item["raw_image"] = (item["image"] - item["image"].min()) / (
-                np.ptp(item["image"]) + 1e-6
-            )
+            del item["raw_image"]
             return item
 
-    metrics = drv.run(cfg, dataset=_DS(4, (64, 64)))
-    for k in ("F-measure", "IoU", "Accuracy", "CorLoc"):
-        assert 0.0 <= metrics[k] <= 1.0
+    with pytest.raises(SystemExit, match="all .* images failed"):
+        drv.run(cfg, dataset=_Broken(4, (64, 64)))
 
 
 def test_percepture_driver(tmp_path, rng):

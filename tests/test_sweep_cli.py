@@ -35,3 +35,51 @@ def test_eval_tasks_skip_training_overrides():
 def test_parallel_flag_accepted():
     out = _run(["--task", "depth", "--models", "a", "b", "--parallel", "2"])
     assert out.count("[sweep]") >= 2
+
+
+# ------------------------------------------------------------- suite_run
+def test_suite_run_task_plan_covers_all_nine_driver_families():
+    """suite_run.py's plan must span every reference driver family; the
+    EXTRA_TASKS (objectness/taskonomy/maskcut) exist but stay OUT of the
+    default pass so a resume of the 168-cell artifact never grows new
+    cells mid-flight."""
+    sys.path.insert(0, "launch_script")
+    import suite_run
+
+    plan = suite_run.task_plan("/tmp/nonexistent_spair")
+    assert set(plan) == {"depth", "snorm", "navi", "scannet", "spair",
+                         "percepture", "objectness", "taskonomy", "maskcut"}
+    assert set(suite_run.EXTRA_TASKS) == {"objectness", "taskonomy",
+                                          "maskcut"}
+    default = [t for t in plan if t not in suite_run.EXTRA_TASKS]
+    assert len(default) == 6
+    # every planned driver actually exists at the repo root
+    import os
+    for task, (driver, overrides) in plan.items():
+        assert os.path.exists(driver), (task, driver)
+        assert all("=" in o or o.startswith("+") for o in overrides), task
+
+
+def test_suite_run_report_and_resume(tmp_path):
+    """write_report renders ok/F cells and totals; resume skips only rc==0
+    rows (failed cells re-enter todo on the next invocation)."""
+    sys.path.insert(0, "launch_script")
+    import json
+    import suite_run
+
+    rows = [
+        {"task": "depth", "model": "a_b16", "rc": 0, "wall_s": 100.0},
+        {"task": "snorm", "model": "a_b16", "rc": 1, "wall_s": 4.0},
+        {"task": "depth", "model": "b_r50", "rc": 0, "wall_s": 50.0},
+    ]
+    out_md = tmp_path / "report.md"
+    suite_run.write_report(rows, str(out_md), str(tmp_path))
+    text = out_md.read_text()
+    assert "| a_b16 | 100 | **F**(4) |" in text
+    assert "| b_r50 | 50 | — |" in text
+    assert "3 runs, 1 failures" in text
+
+    done = {(r["task"], r["model"]) for r in rows if r["rc"] == 0}
+    todo = [(t, m) for m in ["a_b16", "b_r50"] for t in ["depth", "snorm"]
+            if (t, m) not in done]
+    assert todo == [("snorm", "a_b16"), ("snorm", "b_r50")]
