@@ -146,6 +146,31 @@ def make_mini_spair(root: str, n_pairs: int = 4) -> str:
     return root
 
 
+def wait_for_backend(max_wait_s: float = 4 * 3600,
+                     probe_timeout_s: int = 300) -> bool:
+    """After a cell timeout, make sure the TPU backend is actually alive
+    before burning more 2400 s cell budgets — an axon tunnel outage (r3:
+    14 h) would otherwise eat the whole suite. Probes jax.devices() in a
+    bounded subprocess (the hang is uninterruptible inside the tunnel RPC,
+    bench.py:50-70) and retries until the tunnel answers or max_wait_s."""
+    t0 = time.time()
+    while True:
+        try:
+            pre = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=probe_timeout_s, capture_output=True)
+            if pre.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        waited = time.time() - t0
+        if waited > max_wait_s:
+            return False
+        print(f"[suite] backend unreachable after a cell timeout — "
+              f"retrying probe (waited {waited:.0f}s)", flush=True)
+        time.sleep(120)
+
+
 def run_one(task: str, driver: str, model: str, overrides: list,
             log_dir: str) -> dict:
     out_dir = os.path.join(SUITE_OUT, task)
@@ -274,6 +299,10 @@ def main(argv=None):
             status = "ok" if row["rc"] == 0 else f"FAILED({row['rc']})"
             print(f"[suite] {i + 1}/{len(todo)} {t}/{m}: {status} "
                   f"in {row['wall_s']:.0f}s", flush=True)
+            if row["rc"] == 124 and not wait_for_backend():
+                print("[suite] backend still down after max wait — "
+                      "stopping (resume later)", flush=True)
+                break
             # keep the report current so an interrupted suite still
             # leaves a coherent artifact (rows JSON + md regenerate)
             write_report(rows, args.out, args.log_dir)

@@ -83,3 +83,13 @@ def test_suite_run_report_and_resume(tmp_path):
     todo = [(t, m) for m in ["a_b16", "b_r50"] for t in ["depth", "snorm"]
             if (t, m) not in done]
     assert todo == [("snorm", "a_b16"), ("snorm", "b_r50")]
+
+
+def test_suite_run_backend_probe_ok(monkeypatch):
+    """wait_for_backend returns True immediately when jax.devices()
+    answers (CPU env here); the outage path is bounded by max_wait_s."""
+    sys.path.insert(0, "launch_script")
+    import suite_run
+
+    monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+    assert suite_run.wait_for_backend(max_wait_s=1, probe_timeout_s=60)
