@@ -80,7 +80,17 @@ class Linear(nn.Module):
     @nn.compact
     def __call__(self, feats):
         if isinstance(feats, (list, tuple)):
-            feats = jnp.concatenate(list(feats), axis=-1)
+            feats = list(feats)
+            # ViT taps share one grid; CNN stage taps do not (480² resnet:
+            # 120²/60²/30²/15²). The reference Linear head (probes.py:431)
+            # only ever sees same-grid inputs; for hetero grids mirror
+            # MultiscaleHead (probes.py:446-449): bilinear-resize every tap
+            # to the LAST tap's grid before the channel concat. Param tree
+            # is unchanged either way (one "conv").
+            hw = feats[-1].shape[1:3]
+            feats = [f if f.shape[1:3] == hw
+                     else resize(f, size=hw, mode="bilinear") for f in feats]
+            feats = jnp.concatenate(feats, axis=-1)
         if self.kernel_size == 1:
             # a 1x1 conv is a per-pixel linear map, so it commutes EXACTLY
             # with the (separable, linear) bilinear upsample — run the conv

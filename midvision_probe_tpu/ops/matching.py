@@ -117,13 +117,36 @@ def _knn2_kernel(q_ref, t_ref, qn_ref, tn_ref, dist_ref, idx_ref,
         idx_ref[:] = jnp.where(lane == 0, acc_i1[:], acc_i2[:])
 
 
+# Usable scoped-VMEM budget for the q/t input tiles, in f32 elements:
+# v5e scoped vmem is 16 MiB and Mosaic double-buffers streamed blocks, so
+# keep 2 * 4 B * (tile_n + tile_m) * dp under ~10 MiB (scratch + output
+# blocks take the rest). The default (512, 1024) tiles fit exactly up to
+# dp=768 — the ViT regime the kernel was tuned in; resnet/ConvNeXt dense
+# features (dp 2048+) overflowed scoped vmem at compile time (suite r5).
+_TILE_VMEM_BUDGET = 10 * 2**20 // (4 * 2)
+
+
+def _auto_tiles(dp: int, tile_n: int, tile_m: int) -> tuple[int, int]:
+    """Shrink requested tile sizes (upper bounds) until the streamed q/t
+    blocks fit the scoped-VMEM budget; 128 is the row-tiling floor."""
+    while (tile_n + tile_m) * dp > _TILE_VMEM_BUDGET and (
+            tile_n > 128 or tile_m > 128):
+        if tile_m >= tile_n and tile_m > 128:
+            tile_m //= 2
+        else:
+            tile_n //= 2
+    return tile_n, tile_m
+
+
 @functools.partial(jax.jit, static_argnames=("tile_n", "tile_m", "interpret"))
 def _knn2_pallas(
     query, target, tile_n: int = 512, tile_m: int = 1024, interpret: bool = False
 ):
     n, d = query.shape
     m = target.shape[0]
-    np_, mp, dp = _round_up(n, tile_n), _round_up(m, tile_m), _round_up(d, 128)
+    dp = _round_up(d, 128)
+    tile_n, tile_m = _auto_tiles(dp, tile_n, tile_m)
+    np_, mp = _round_up(n, tile_n), _round_up(m, tile_m)
 
     q = jnp.zeros((np_, dp), jnp.float32).at[:n, :d].set(query.astype(jnp.float32))
     # Feature-dim padding is zeros (doesn't change dot products or norms).
@@ -221,7 +244,10 @@ def knn2(
         target = target / jnp.linalg.norm(target, axis=-1, keepdims=True).clip(1e-12)
 
     if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu"
+        # beyond dp=4096 even 128-row tiles overflow scoped vmem — use the
+        # (exact, chunked) XLA formulation instead of failing to compile
+        use_pallas = (jax.default_backend() == "tpu"
+                      and _round_up(query.shape[-1], 128) <= 4096)
     if use_pallas:
         sq_dist, idx = _knn2_pallas(
             query, target, tile_n=tile_n, tile_m=tile_m, interpret=interpret

