@@ -80,6 +80,14 @@ def run(cfg, dataset=None):
     )
     metrics, n_ok, errors = predict(processor, dataset, logger,
                                     cfg.get("max_images", -1))
+    # deliberate tightening over the reference (which only logs): when
+    # EVERY image failed the run proved nothing — exit nonzero BEFORE the
+    # CSV append so sweeps and the suite runner surface it instead of a
+    # legitimate-looking all-0.0 row landing in the archived artifact
+    if n_ok == 0 and len(dataset) > 0:
+        raise SystemExit(
+            f"maskcut: all {len(errors)} images failed (first: "
+            f"{errors[0] if errors else 'n/a'})")
     logger.info("MaskCut (%d imgs): F %.4f IoU %.4f Acc %.4f CorLoc %.4f",
                 n_ok, metrics["F-measure"], metrics["IoU"],
                 metrics["Accuracy"], metrics["CorLoc"])
@@ -97,13 +105,6 @@ def run(cfg, dataset=None):
         "Num Errors": len(errors),
         **{k: f"{v:.4f}" for k, v in metrics.items()},
     })
-    # deliberate tightening over the reference (which only logs): when
-    # EVERY image failed the run proved nothing — exit nonzero so sweeps
-    # and the suite runner surface it instead of recording 0.0 metrics
-    if n_ok == 0 and len(dataset) > 0:
-        raise SystemExit(
-            f"maskcut: all {len(errors)} images failed (first: "
-            f"{errors[0] if errors else 'n/a'})")
     return metrics
 
 

@@ -128,9 +128,11 @@ def measure(rows=None) -> dict:
     return out
 
 
-def check(measured: dict, expected: dict) -> list[str]:
+def check(measured: dict, expected: dict, rows=None) -> list[str]:
     failures = []
     for key, exp in expected.items():
+        if rows is not None and key not in rows:
+            continue  # --rows subset: unrequested keys are not failures
         if key not in measured:
             failures.append(f"{key}: not measured")
             continue
@@ -178,15 +180,23 @@ def main(argv=None) -> int:
     print(f"[bench_matrix] wrote {out_path}")
 
     if args.update or not os.path.exists(EXPECTED_PATH):
+        # merge into the existing expectations so a --rows subset update
+        # refreshes only the measured keys instead of deleting every other
+        # family's regression baseline
+        expected = {}
+        if os.path.exists(EXPECTED_PATH):
+            with open(EXPECTED_PATH) as f:
+                expected = json.load(f)
+        expected.update(
+            {k: v for k, v in measured.items() if k != "_meta"})
         with open(EXPECTED_PATH, "w") as f:
-            json.dump({k: v for k, v in measured.items() if k != "_meta"},
-                      f, indent=1)
+            json.dump(expected, f, indent=1)
         print(f"[bench_matrix] expectations written to {EXPECTED_PATH}")
         return 0
 
     with open(EXPECTED_PATH) as f:
         expected = json.load(f)
-    failures = check(measured, expected)
+    failures = check(measured, expected, rows=args.rows)
     if failures:
         print(f"[bench_matrix] {len(failures)} regression(s): {failures}")
         return 1

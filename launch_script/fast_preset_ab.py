@@ -104,6 +104,11 @@ def main(argv=None):
     import train_depth
 
     arms = [a for a in ARMS if args.arms is None or a[0] in args.arms]
+    if args.arms:
+        unknown = set(args.arms) - {a[0] for a in ARMS}
+        if unknown:
+            ap.error(f"unknown arm(s) {sorted(unknown)}; "
+                     f"choose from {[a[0] for a in ARMS]}")
 
     # per-arm row persistence: an interrupted A/B resumes without rerunning
     # finished arms, and the report regenerates after every arm
@@ -111,12 +116,27 @@ def main(argv=None):
                              "fast_preset_ab_rows_r5.jsonl")
     import json
 
+    # rows are only valid for the configuration they were measured under —
+    # a rerun with a different --backbone/--instances/--size must NOT serve
+    # rows from the old one (older row files lack the config and are
+    # likewise not trusted)
+    run_cfg = {"backbone": args.backbone, "instances": args.instances,
+               "size": args.size}
     done: dict = {}
     if os.path.exists(rows_path) and not args.rerun:
         with open(rows_path) as f:
             for line in f:
                 d = json.loads(line)
-                done[d["preset"]] = d
+                # rows persisted before run_cfg existed were all measured
+                # under the argparse defaults
+                legacy = {"backbone": "dino_b16", "instances": 256,
+                          "size": 480}
+                if d.get("run_cfg", legacy) == run_cfg:
+                    done[d["preset"]] = d
+                else:
+                    print(f"[ab] ignoring cached row for {d['preset']} "
+                          f"(measured under {d.get('run_cfg')}, "
+                          f"this run is {run_cfg})", flush=True)
 
     rows = []
     for preset, probe, epochs, head_type, train_size, hidden_dim in arms:
@@ -177,7 +197,7 @@ def main(argv=None):
         rows.append((preset, ts, row, dt, t_probe, proj_h))
         with open(rows_path, "a") as f:
             f.write(json.dumps({
-                "preset": preset, "train_size": ts,
+                "preset": preset, "train_size": ts, "run_cfg": run_cfg,
                 "metrics": {k: float(v) for k, v in row.items()},
                 "wall_s": round(dt, 1), "step_s": t_probe,
                 "suite_h": proj_h}) + "\n")
@@ -192,9 +212,18 @@ def main(argv=None):
 
 
 def _write_report(rows, args):
+    if not rows:
+        print("[ab] no arms ran — nothing to report", flush=True)
+        return
     base = next((r for r in rows if r[0] == "protocol-dpt"), None)
-    base_d1 = base[2]["sa_d1"] if base is not None else (
-        args.base_d1 if args.base_d1 is not None else rows[0][2]["sa_d1"])
+    if base is not None:
+        base_d1, base_name = base[2]["sa_d1"], "protocol"
+    elif args.base_d1 is not None:
+        base_d1, base_name = args.base_d1, "protocol (--base-d1)"
+    else:
+        # no protocol arm in this subset and no --base-d1: label the delta
+        # column honestly as vs the first arm rather than claiming protocol
+        base_d1, base_name = rows[0][2]["sa_d1"], rows[0][0]
     lines = [
         "# Suite-preset A/B — the space between paper DPT and fast linear",
         "",
@@ -208,7 +237,7 @@ def _write_report(rows, args):
         "(logs/suite_timing_r4.md geometry).",
         "",
         "| preset | train res | sa_d1 | si_d1 | sa_rmse | si_rmse | "
-        "probe step ms | v4-8 suite h | <1 h | δ1 vs protocol |",
+        f"probe step ms | v4-8 suite h | <1 h | δ1 vs {base_name} |",
         "|---|---|---|---|---|---|---|---|---|---|",
     ]
     for name, ts, r, dt, t_probe, proj_h in rows:
@@ -228,20 +257,39 @@ def _write_report(rows, args):
         "",
         "## Findings",
         "",
-        "- Epoch cuts destroy accuracy (3-ep arms lose δ1 0.23-0.59): the "
-        "probe is still converging at epoch 3 from random features.",
-        "- Resolution and decoder-width cuts are nearly free individually "
-        "(dpt-160 −0.0043, dpt-240-hd256 −0.0066) but miss <1 h alone.",
-        "- **Combined cuts close VERDICT r3 weak #1**: `dpt-192-hd256` "
-        "(train 192², DPT hidden_dim 256, full 10-ep schedule, eval at "
-        "protocol 480²) projects **<1 h on v4-8 at δ1 −0.0086**; "
-        "`dpt-160-hd256` gives more margin (0.98 h) at −0.0140. Both keep "
-        "the paper's DPT decoder family — unlike fast-linear (−0.36), these "
-        "are presets someone would actually use.",
-    ]
+    ] + _findings(rows, base_d1, base_name)
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
     with open(args.out, "w") as fo:
         fo.write("\n".join(lines) + "\n")
+
+
+def _findings(rows, base_d1, base_name):
+    """Findings derived from what THIS run measured — a report must never
+    assert numbers its own table does not contain (r4 review finding: the
+    old hardcoded section survived arm-subset and backbone changes)."""
+    out = []
+    ep3 = [(n, r["sa_d1"] - base_d1) for n, _, r, *_ in rows
+           if n.endswith("-3ep") or n == "dpt-3ep"]
+    if ep3 and base_name.startswith("protocol"):
+        lo = min(d for _, d in ep3)
+        hi = max(d for _, d in ep3)
+        out.append(f"- Shortened schedules cost δ1 {lo:+.4f}..{hi:+.4f} "
+                   f"across {len(ep3)} 3-epoch arm(s).")
+    met = [(n, h, r["sa_d1"] - base_d1)
+           for n, _, r, _, _, h in rows if h < 1.0]
+    if met:
+        best = min(met, key=lambda x: abs(x[2]))
+        out.append(
+            f"- {len(met)} arm(s) meet <1 h on v4-8; smallest accuracy "
+            f"trade: `{best[0]}` at {best[1]:.2f} h, "
+            f"δ1 {best[2]:+.4f} vs {base_name}.")
+    else:
+        out.append("- No arm in this run meets <1 h on v4-8.")
+    out.append(
+        "- Reference record of the full 11-arm sweep (dino_b16, 256 imgs, "
+        "480² eval): logs/fast_preset_ab_r5.md @ commit 12ddcd9 — combined "
+        "res+width cuts (`dpt-192-hd256`) met <1 h at δ1 −0.0086.")
+    return out
 
 
 if __name__ == "__main__":

@@ -32,7 +32,7 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from sweep import DEFAULT_MODELS  # noqa: E402  (reference launch_depth list)
+from sweep import DEFAULT_MODELS, subprocess_env  # noqa: E402
 
 SUITE_OUT = "/tmp/mvp_suite_r5"  # overridable via --suite-out (smokes must
                                  # not pollute the real run's CSV artifacts)
@@ -176,10 +176,7 @@ def run_one(task: str, driver: str, model: str, overrides: list,
     out_dir = os.path.join(SUITE_OUT, task)
     cmd = [sys.executable, os.path.join(REPO, driver),
            f"backbone={model}", f"output_dir={out_dir}"] + overrides
-    env = dict(os.environ)
-    env.setdefault("MVP_SYNTH_DISK_CACHE", "/tmp/mvp_synth_cache")
-    env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/mvp_jax_cache")
-    env.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1.0")
+    env = subprocess_env()
     os.makedirs(os.path.join(log_dir, task), exist_ok=True)
     log_path = os.path.join(log_dir, task, f"{model}.log")
     t0 = time.time()
@@ -299,7 +296,15 @@ def main(argv=None):
             status = "ok" if row["rc"] == 0 else f"FAILED({row['rc']})"
             print(f"[suite] {i + 1}/{len(todo)} {t}/{m}: {status} "
                   f"in {row['wall_s']:.0f}s", flush=True)
-            if row["rc"] == 124 and not wait_for_backend():
+            # outage guard on ANY failure, not just rc=124 timeouts: the
+            # r3 axon outage presented BOTH as hung jax.devices() (cell
+            # timeout) and as fast 'backend init failed UNAVAILABLE'
+            # nonzero exits — in the fast-fail mode the old rc==124-only
+            # guard churned through every remaining cell in minutes,
+            # marking them all F. When the backend is actually up the
+            # probe returns in seconds, so real product-bug failures only
+            # pay one cheap probe before the suite moves on.
+            if row["rc"] != 0 and not wait_for_backend():
                 print("[suite] backend still down after max wait — "
                       "stopping (resume later)", flush=True)
                 break

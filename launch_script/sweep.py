@@ -49,6 +49,20 @@ DRIVERS = {
 }
 
 
+def subprocess_env() -> dict:
+    """Environment for driver subprocesses, with shared cross-tile caches:
+    every tile is its own subprocess, so without these each one regenerates
+    the identical synthetic data (~110 s/tile on the 1-core host) and
+    re-pays tunnel compiles for architectures an earlier tile already
+    built. Shared by sweep.py and suite_run.py so the two launchers'
+    cache paths cannot drift apart."""
+    env = dict(os.environ)
+    env.setdefault("MVP_SYNTH_DISK_CACHE", "/tmp/mvp_synth_cache")
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/mvp_jax_cache")
+    env.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1.0")
+    return env
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--task", default="depth", choices=sorted(DRIVERS))
@@ -94,14 +108,7 @@ def main(argv=None):
         print(f"[sweep] {' '.join(cmd)} -> {log_path}", flush=True)
         if args.dry_run:
             return model, 0, 0.0
-        # shared cross-tile caches: every tile is its own subprocess, so
-        # without these each one regenerates the identical synthetic data
-        # (~110 s/tile on the 1-core host) and re-pays tunnel compiles for
-        # architectures an earlier tile already built
-        env = dict(os.environ)
-        env.setdefault("MVP_SYNTH_DISK_CACHE", "/tmp/mvp_synth_cache")
-        env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/mvp_jax_cache")
-        env.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1.0")
+        env = subprocess_env()
         t0 = time.time()
         with open(log_path, "w") as log:
             ret = subprocess.call(cmd, stdout=log, stderr=subprocess.STDOUT,

@@ -312,9 +312,15 @@ class ProbeTrainer:
                 if cached is None:
                     feats = self._extract(
                         shard_batch({"image": image}, self.mesh)["image"])
-                    size = sum(f.size * f.dtype.itemsize for f in feats)
-                    size += sum(v.size * v.dtype.itemsize
-                                for v in jax.tree_util.tree_leaves(batch))
+                    feat_size = sum(f.size * f.dtype.itemsize for f in feats)
+                    # the device tier holds the sharded target batch too;
+                    # the host tier stores features ONLY, so its budget is
+                    # charged feature bytes alone (charging target bytes it
+                    # never stores exhausted the budget ~25% early at 480²
+                    # depth and silently re-extracted the tail batches)
+                    size = feat_size + sum(
+                        v.size * v.dtype.itemsize
+                        for v in jax.tree_util.tree_leaves(batch))
                     if self._dev_cache_bytes + size <= self._dev_cache_budget:
                         # device tier: hold the extracted jax.Arrays and
                         # the sharded target batch (both already carrying
@@ -323,7 +329,7 @@ class ProbeTrainer:
                         self._feature_cache[bid] = (list(feats), batch,
                                                     n_valid)
                         self._dev_cache_bytes += size
-                    elif self._cache_bytes + size <= self._cache_budget:
+                    elif self._cache_bytes + feat_size <= self._cache_budget:
                         # host spill tier (features only). np.asarray keeps
                         # bfloat16 (ml_dtypes) — same dtype on both paths,
                         # so the step never recompiles. Multi-process: each
@@ -333,7 +339,7 @@ class ProbeTrainer:
                         # make_array_from_process_local_data.
                         self._feature_cache[bid] = [_host_local_rows(f)
                                                     for f in feats]
-                        self._cache_bytes += size
+                        self._cache_bytes += feat_size
                     elif logger and not self._cache_full_warned:
                         self._cache_full_warned = True
                         logger.warning(

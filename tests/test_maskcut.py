@@ -121,6 +121,12 @@ def test_objectness_eval_driver_fails_when_all_images_fail(tmp_path):
     with pytest.raises(SystemExit, match="all .* images failed"):
         drv.run(cfg, dataset=_Broken(4, (64, 64)))
 
+    # and it must exit BEFORE the CSV append: an all-0.0000 row in the
+    # archived artifact looks like a legitimate result (r4 review finding)
+    import glob
+
+    assert not glob.glob(str(tmp_path / "final_results_summary_*.csv"))
+
 
 def test_percepture_driver(tmp_path, rng):
     from midvision_probe_tpu.config import compose

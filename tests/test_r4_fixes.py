@@ -171,6 +171,12 @@ def test_feature_cache_device_tier_matches_host_tier(rng, monkeypatch):
     assert all(isinstance(f, np.ndarray) for f in host_entry)
     assert t_dev._dev_cache_bytes > 0 and t_dev._cache_bytes == 0
     assert t_host._dev_cache_bytes == 0 and t_host._cache_bytes > 0
+    # host-tier accounting charges exactly what it stores — feature rows
+    # only (r4 review finding: charging the target-batch bytes too
+    # exhausted the budget ~25% early and silently re-extracted the tail)
+    assert t_host._cache_bytes == sum(
+        f.size * f.dtype.itemsize for f in host_entry)
+    assert t_dev._dev_cache_bytes > t_host._cache_bytes
 
     np.testing.assert_allclose(losses["dev"][0], losses["host"][0], atol=0)
     np.testing.assert_allclose(losses["dev"][1], losses["host"][1], atol=0)
