@@ -241,7 +241,48 @@ def write_report(rows: list, out_md: str, log_dir: str):
         "emission) measured per family, and proves the whole artifact "
         "pipeline end-to-end — every cell above appended its row to the "
         "task CSV (archived under logs/suite_r5/csv/).",
+        "",
+        "Per task (green cells only; *fresh* = the first cell of each "
+        "architecture class, paying the tunnel compile; *cached* = later "
+        "same-class cells riding the persistent compile cache):",
+        "",
+        "| task | cells | fresh med s | cached med s | min..max s | "
+        "total h |",
+        "|---|---|---|---|---|---|",
     ]
+
+    def _arch(model: str) -> str:
+        # compile-identity classes: croco (binocular trunk) and beit/midas
+        # (fixed-input 224/384) compile different programs from the plain
+        # ViT-B/16 families even though all are "b16"
+        if model.startswith("croco"):
+            return "croco"
+        if "beit" in model or "midas" in model:
+            return "beit"
+        for key in ("resnet50", "b14", "b16"):
+            if key in model:
+                return key
+        return model
+
+    def _median(xs):
+        return sorted(xs)[len(xs) // 2] if xs else float("nan")
+
+    for t in tasks:
+        ok_rows = [r for r in rows if r["task"] == t and r["rc"] == 0]
+        if not ok_rows:
+            continue
+        first_of_arch, fresh, cachd = set(), [], []
+        for r in ok_rows:  # rows carry run order
+            a = _arch(r["model"])
+            (fresh if a not in first_of_arch else cachd).append(r["wall_s"])
+            first_of_arch.add(a)
+        walls = [r["wall_s"] for r in ok_rows]
+        lines.append(
+            f"| {t} | {len(ok_rows)} | {_median(fresh):.0f} | "
+            + (f"{_median(cachd):.0f}" if cachd else "—")
+            + f" | {min(walls):.0f}..{max(walls):.0f} | "
+            f"{sum(walls) / 3600:.2f} |")
+
     med = sorted(r["wall_s"] for r in rows if r["rc"] == 0)
     if med:
         lines += [
@@ -251,7 +292,10 @@ def write_report(rows: list, out_md: str, log_dir: str):
             f"~{len(models) * 2 * med[len(med) // 2] / 3600 / 4:.2f} h of "
             "per-run overhead when priced per job on 4 chips "
             "(overheads overlap chip compute when jobs are pipelined, so "
-            "this is an upper bound).",
+            "this is an upper bound). The cached-vs-fresh gap above is the "
+            "measured value of the persistent compile cache the projection "
+            "assumed implicitly: one compile per architecture class, not "
+            "per run.",
         ]
     with open(out_md, "w") as f:
         f.write("\n".join(lines) + "\n")
