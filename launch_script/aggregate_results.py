@@ -1,0 +1,209 @@
+#!/usr/bin/env python
+"""Aggregate the suite's CSV artifact set into paper-style ranking tables.
+
+The reference's pipelines stop at per-task CSV rows (one append per run,
+``train_depth.py:806-829`` et al.); the paper's backbone-ranking tables are
+assembled from those rows by hand. This CLI is that missing last step: it
+reads every task CSV a suite run produced (either the ``suite_run.py``
+archive layout ``<dir>/<task>_<name>.csv`` or the live output tree
+``<dir>/<task>/<name>.csv``), keeps the latest row per backbone, and emits
+one markdown ranking table per task plus a cross-task overview — the
+artifact a reader actually compares backbones with.
+
+Usage:
+    python launch_script/aggregate_results.py                  # archive dir
+    python launch_script/aggregate_results.py --csv-dir /tmp/mvp_suite_r5
+    python launch_script/aggregate_results.py --out results.md
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import glob
+import os
+
+# headline columns per task family, in display order; the FIRST column is
+# the ranking key and the one shown in the cross-task overview. Names are
+# the exact CSV headers the drivers emit (reference schemas: depth/snorm
+# train_depth.py:806-829 / train_snorm.py; correspondence
+# evaluate_navi_correspondence.py; 2AFC evaluate_model_percepture.py).
+HEADLINE = {
+    "depth": ["sa_d1", "sa_d2", "sa_d3", "sa_rmse", "si_d1", "si_rmse"],
+    "snorm": ["d1", "d2", "d3", "rmse"],
+    "navi": ["3D Recall (0.02m)", "3D Recall (0.01m)", "3D Recall (0.05m)",
+             "2D Recall (5px)", "2D Recall (25px)", "2D Recall (50px)"],
+    "scannet": ["3D Recall (0.05m)", "3D Recall (0.10m)",
+                "2D Recall (5px)", "2D Recall (15px)"],
+    "spair": ["Recall (View Diff all)", "Recall (View Diff 0)",
+              "Recall (View Diff 1)", "Recall (View Diff 2)"],
+    "percepture": ["accuracy", "f1_score", "precision", "recall"],
+    "objectness": ["F-measure", "IoU", "Accuracy", "CorLoc"],
+    "maskcut": ["F-measure", "IoU", "Accuracy", "CorLoc"],
+    # taskonomy metric keys vary by task (masked_l1 / absrel / delta1..) —
+    # resolved per file by _numeric_columns below
+    "taskonomy": [],
+}
+
+# identity / configuration columns that must never be treated as metrics
+_META = {"exp_name", "checkpoint", "layer", "output", "n_epochs",
+         "batch_size", "probe_lr", "note", "Time", "Model Checkpoint",
+         "Patch Size", "Layer", "Output", "Num Correspondences",
+         "Scale Factor", "Dataset", "Split", "Class", "Num Instances",
+         "Num Images", "Num Errors"}
+
+
+def _lower_is_better(col: str) -> bool:
+    c = col.lower()
+    return any(k in c for k in ("rmse", "l1", "absrel", "error", "loss"))
+
+
+def _model_of(row: dict) -> str | None:
+    return row.get("checkpoint") or row.get("Model Checkpoint")
+
+
+def _numeric_columns(rows: list[dict]) -> list[str]:
+    """Fallback headline set: every non-meta column that parses as float
+    in the first row (taskonomy's keys vary with the sub-task)."""
+    cols = []
+    for k, v in rows[0].items():
+        if k in _META:
+            continue
+        try:
+            float(v)
+        except (TypeError, ValueError):
+            continue
+        cols.append(k)
+    return cols
+
+
+def discover(csv_dir: str) -> dict[str, list[str]]:
+    """Map task -> CSV paths for both supported layouts."""
+    by_task: dict[str, list[str]] = {}
+    for sub in sorted(glob.glob(os.path.join(csv_dir, "*", ""))):
+        task = os.path.basename(os.path.dirname(sub))
+        paths = sorted(glob.glob(os.path.join(sub, "*.csv")))
+        if paths and task != "csv":
+            by_task.setdefault(task, []).extend(paths)
+    for p in sorted(glob.glob(os.path.join(csv_dir, "*.csv"))):
+        base = os.path.basename(p)
+        task = next((t for t in HEADLINE if base.startswith(t + "_")), None)
+        if task:
+            by_task.setdefault(task, []).append(p)
+    return by_task
+
+
+def load_task(paths: list[str]) -> list[dict]:
+    rows: list[dict] = []
+    for p in paths:
+        with open(p) as f:
+            rows.extend(csv.DictReader(f))
+    # SPair emits one row per class plus the 'all' aggregate — rank on the
+    # aggregate only (per-class detail stays in the archived CSV)
+    if rows and "Class" in rows[0]:
+        allr = [r for r in rows if r.get("Class") == "all"]
+        rows = allr or rows
+    # latest row per backbone wins (suite retries / repeated runs append)
+    latest: dict[str, dict] = {}
+    for r in rows:
+        m = _model_of(r)
+        if m:
+            latest[m] = r
+    return list(latest.values())
+
+
+def _fmt(v: str) -> str:
+    try:
+        return f"{float(v):.4f}"
+    except (TypeError, ValueError):
+        return (v or "").strip() or "—"
+
+
+def task_table(task: str, rows: list[dict]) -> list[str]:
+    cols = [c for c in HEADLINE.get(task, []) if c in rows[0]]
+    if not cols:
+        cols = _numeric_columns(rows)
+    if not cols:
+        return []
+    rank_col = cols[0]
+
+    def key(r):
+        try:
+            v = float(r.get(rank_col, "nan"))
+        except (TypeError, ValueError):
+            return float("inf")
+        if v != v:  # NaN ranks last either direction
+            return float("inf")
+        return v if _lower_is_better(rank_col) else -v
+
+    arrow = "↓" if _lower_is_better(rank_col) else "↑"
+    lines = [f"## {task} (ranked by {rank_col} {arrow})", "",
+             "| backbone | " + " | ".join(cols) + " |",
+             "|---" * (len(cols) + 1) + "|"]
+    for r in sorted(rows, key=key):
+        lines.append("| " + _model_of(r) + " | "
+                     + " | ".join(_fmt(r.get(c)) for c in cols) + " |")
+    return lines + [""]
+
+
+def overview_table(tables: dict[str, list[dict]]) -> list[str]:
+    tasks = sorted(tables)
+    rank_col = {}
+    for t in tasks:
+        cols = [c for c in HEADLINE.get(t, []) if c in tables[t][0]]
+        cols = cols or _numeric_columns(tables[t])
+        if cols:
+            rank_col[t] = cols[0]
+    tasks = [t for t in tasks if t in rank_col]
+    models: list[str] = []
+    for t in tasks:
+        for r in tables[t]:
+            m = _model_of(r)
+            if m not in models:
+                models.append(m)
+    lines = ["## Overview (headline metric per task)", "",
+             "| backbone | " + " | ".join(
+                 f"{t}: {rank_col[t]}" for t in tasks) + " |",
+             "|---" * (len(tasks) + 1) + "|"]
+    for m in models:
+        cells = []
+        for t in tasks:
+            r = next((r for r in tables[t] if _model_of(r) == m), None)
+            cells.append("—" if r is None else _fmt(r.get(rank_col[t])))
+        lines.append(f"| {m} | " + " | ".join(cells) + " |")
+    return lines + [""]
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--csv-dir", default="logs/suite_r5/csv")
+    ap.add_argument("--out", default="logs/suite_r5/results_tables.md")
+    args = ap.parse_args(argv)
+
+    by_task = discover(args.csv_dir)
+    if not by_task:
+        print(f"[aggregate] no task CSVs under {args.csv_dir}")
+        return 1
+    tables = {t: load_task(ps) for t, ps in sorted(by_task.items())}
+    tables = {t: rows for t, rows in tables.items() if rows}
+
+    lines = ["# Suite results — per-task backbone ranking tables", "",
+             f"Assembled from the per-run CSV artifacts under "
+             f"`{args.csv_dir}` (latest row per backbone; schemas match "
+             "the reference's pipelines — see README 'Usage'). Synthetic "
+             "data + random init unless real checkpoints were converted, "
+             "so treat values as pipeline proof, not science.", ""]
+    lines += overview_table(tables)
+    for t, rows in tables.items():
+        lines += task_table(t, rows)
+
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+    with open(args.out, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print(f"[aggregate] {sum(len(r) for r in tables.values())} backbone "
+          f"rows across {len(tables)} tasks -> {args.out}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
