@@ -22,6 +22,7 @@ import argparse
 import csv
 import glob
 import os
+import re
 
 # headline columns per task family, in display order; the FIRST column is
 # the ranking key and the one shown in the cross-task overview. Names are
@@ -75,6 +76,89 @@ def _numeric_columns(rows: list[dict]) -> list[str]:
             continue
         cols.append(k)
     return cols
+
+
+def _norm_name(name: str) -> str:
+    """Checkpoint-name normalizer for matching a suite model key (e.g.
+    ``dino_b16``) against a driver CSV checkpoint value (``dino_vitb16``
+    or ``byol_resnet50_dense_[1, 2, 3, 4]``): lowercase, drop non-alnum,
+    drop the 'vit' infix."""
+    return re.sub(r"[^a-z0-9]", "", name.lower()).replace("vit", "")
+
+
+def _names_match(csv_ckpt: str, model_key: str) -> bool:
+    a, b = _norm_name(csv_ckpt), _norm_name(model_key)
+    return a.startswith(b) or b.startswith(a)
+
+
+# --- per-cell-log metric recovery -----------------------------------------
+# The suite writes one log per (task, model) cell under <logs>/<task>/.
+# When a cell's CSV row is missing from the archive (the /tmp output tree
+# is volatile — a host reboot ate the first 41 cells' CSVs while the rows
+# JSON said rc=0, so resume never re-ran them), the headline metrics are
+# still recoverable from the driver's final log lines. Rows built this way
+# carry a ' †' suffix on the backbone name and only the headline columns.
+
+def parse_cell_log(task: str, text: str) -> dict | None:
+    """Extract the headline metric dict from one cell log, or None."""
+    out: dict[str, str] = {}
+    if task == "depth":
+        ms = re.findall(r"scale-aware\s+d1 (\S+) rmse (\S+) \| "
+                        r"scale-invariant d1 (\S+) rmse (\S+)", text)
+        if ms:
+            sa_d1, sa_rmse, si_d1, si_rmse = ms[-1]
+            out = {"sa_d1": sa_d1, "sa_rmse": sa_rmse,
+                   "si_d1": si_d1, "si_rmse": si_rmse}
+    elif task == "snorm":
+        ms = re.findall(r"snorm d1 (\S+) d2 (\S+) d3 (\S+) "
+                        r"rmse (\S+?)deg", text)
+        if ms:
+            d1, d2, d3, rmse = ms[-1]
+            out = {"d1": d1, "d2": d2, "d3": d3, "rmse": rmse}
+    elif task in ("navi", "scannet"):
+        for thr, v in re.findall(r"Recall at\s*([\d.]+)\s*m:\s*(\S+)", text):
+            out[f"3D Recall ({thr}m)"] = v
+        for px, v in re.findall(r"Recall at\s*(\d+)\s*px:\s*(\S+)", text):
+            out[f"2D Recall ({px}px)"] = v
+    elif task == "spair":
+        for d, v in re.findall(
+                r"Recall@[\d.]+ view diff=\s*(\S+) \|\s*(\S+)", text):
+            if v != "N/A":
+                out[f"Recall (View Diff {d})"] = v
+    elif task == "percepture":
+        ms = re.findall(r"2AFC acc (\S+) f1 (\S+) p (\S+) r (\S+)", text)
+        if ms:
+            a, f1, p, r = ms[-1]
+            out = {"accuracy": a, "f1_score": f1,
+                   "precision": p, "recall": r}
+    return out or None
+
+
+def recover_from_logs(logs_dir: str,
+                      tables: dict[str, list[dict]]) -> dict[str, int]:
+    """For every <logs_dir>/<task>/<model>.log with no matching CSV row in
+    ``tables``, parse the log's final metric lines into a headline-only row
+    (backbone name suffixed ' †'). Mutates ``tables``; returns per-task
+    recovered-row counts."""
+    recovered: dict[str, int] = {}
+    for sub in sorted(glob.glob(os.path.join(logs_dir, "*", ""))):
+        task = os.path.basename(os.path.dirname(sub))
+        if task not in HEADLINE:
+            continue
+        rows = tables.setdefault(task, [])
+        have = [(_model_of(r) or "") for r in rows]
+        for lp in sorted(glob.glob(os.path.join(sub, "*.log"))):
+            model = os.path.splitext(os.path.basename(lp))[0]
+            if any(_names_match(h, model) for h in have):
+                continue
+            with open(lp) as f:
+                parsed = parse_cell_log(task, f.read())
+            if parsed:
+                rows.append({"checkpoint": model + " †", **parsed})
+                recovered[task] = recovered.get(task, 0) + 1
+        if not rows:
+            tables.pop(task, None)
+    return recovered
 
 
 def discover(csv_dir: str) -> dict[str, list[str]]:
@@ -178,14 +262,25 @@ def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--csv-dir", default="logs/suite_r5/csv")
     ap.add_argument("--out", default="logs/suite_r5/results_tables.md")
+    ap.add_argument("--logs-dir", default=None,
+                    help="per-cell log tree for metric recovery when a "
+                         "cell's CSV row is missing (default: the parent "
+                         "of --csv-dir); pass 'none' to disable")
     args = ap.parse_args(argv)
 
     by_task = discover(args.csv_dir)
-    if not by_task:
-        print(f"[aggregate] no task CSVs under {args.csv_dir}")
-        return 1
     tables = {t: load_task(ps) for t, ps in sorted(by_task.items())}
     tables = {t: rows for t, rows in tables.items() if rows}
+
+    logs_dir = args.logs_dir or os.path.dirname(
+        args.csv_dir.rstrip("/")) or "."
+    recovered: dict[str, int] = {}
+    if logs_dir != "none":
+        recovered = recover_from_logs(logs_dir, tables)
+    if not tables:
+        print(f"[aggregate] no task CSVs under {args.csv_dir} and no "
+              f"recoverable cell logs under {logs_dir}")
+        return 1
 
     lines = ["# Suite results — per-task backbone ranking tables", "",
              f"Assembled from the per-run CSV artifacts under "
@@ -193,6 +288,14 @@ def main(argv=None) -> int:
              "the reference's pipelines — see README 'Usage'). Synthetic "
              "data + random init unless real checkpoints were converted, "
              "so treat values as pipeline proof, not science.", ""]
+    if recovered:
+        n = sum(recovered.values())
+        lines += [f"Rows marked **†** ({n} across "
+                  f"{len(recovered)} tasks) had no archived CSV row (the "
+                  "volatile /tmp output tree was lost to a host reboot "
+                  "before the archive step); their headline metrics are "
+                  f"recovered from the per-cell driver logs under "
+                  f"`{logs_dir}/<task>/`.", ""]
     lines += overview_table(tables)
     for t, rows in tables.items():
         lines += task_table(t, rows)

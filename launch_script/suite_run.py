@@ -355,17 +355,29 @@ def main(argv=None):
             # keep the report current so an interrupted suite still
             # leaves a coherent artifact (rows JSON + md regenerate)
             write_report(rows, args.out, args.log_dir)
+            # archive the CSVs after EVERY cell, not just at loop end:
+            # /tmp is volatile (a host reboot between babysit windows ate
+            # the first 41 cells' CSV rows — only the per-cell logs kept
+            # their metrics), and a timeout/interrupt never reaches a
+            # loop-end archive step.
+            archive_csvs(args.log_dir)
 
-        # archive the CSV artifact set next to the logs
-        csv_dir = os.path.join(args.log_dir, "csv")
-        os.makedirs(csv_dir, exist_ok=True)
-        for p in glob.glob(os.path.join(SUITE_OUT, "*", "*.csv")):
-            shutil.copy(p, os.path.join(
-                csv_dir, os.path.basename(os.path.dirname(p)) + "_"
-                + os.path.basename(p)))
+        archive_csvs(args.log_dir)
 
     write_report(rows, args.out, args.log_dir)
     return 1 if any(r["rc"] != 0 for r in rows) else 0
+
+
+def archive_csvs(log_dir: str):
+    """Copy the per-task CSV artifact set from the (volatile) suite output
+    tree into the repo's log dir. Idempotent, cheap (a handful of small
+    files), safe to call per cell."""
+    csv_dir = os.path.join(log_dir, "csv")
+    os.makedirs(csv_dir, exist_ok=True)
+    for p in glob.glob(os.path.join(SUITE_OUT, "*", "*.csv")):
+        shutil.copy(p, os.path.join(
+            csv_dir, os.path.basename(os.path.dirname(p)) + "_"
+            + os.path.basename(p)))
 
 
 if __name__ == "__main__":

@@ -90,3 +90,64 @@ def test_tree_layout_rmse_ranking_and_fallback(tmp_path):
 def test_missing_dir_fails_loudly(tmp_path):
     assert agg.main(["--csv-dir", str(tmp_path / "nope"),
                      "--out", str(tmp_path / "o.md")]) == 1
+
+
+def test_log_recovery_fills_missing_cells(tmp_path):
+    """Cells whose CSV rows were lost (volatile /tmp tree) are recovered
+    from their per-cell driver logs: recovered rows carry the † marker,
+    cells that DO have a CSV row are never duplicated (name-normalized
+    match, dino_b16 log vs dino_vitb16 checkpoint), unparseable logs are
+    skipped."""
+    d = tmp_path / "suite" / "csv"
+    _write(str(d / "depth_depth_results_synthetic_final.csv"), [
+        _depth_row("dino_vitb16", 0.60, 0.70),
+    ])
+    logs = tmp_path / "suite"
+    os.makedirs(str(logs / "depth"))
+    os.makedirs(str(logs / "navi"))
+    # matches the existing dino_vitb16 CSV row -> must NOT be recovered
+    (logs / "depth" / "dino_b16.log").write_text(
+        "12:00 | INFO | scale-aware  d1 0.9999 rmse 0.1 | "
+        "scale-invariant d1 0.9 rmse 0.2\n")
+    # no CSV row -> recovered from the log (last metric line wins)
+    (logs / "depth" / "mae_b16.log").write_text(
+        "12:00 | INFO | scale-aware  d1 0.1000 rmse 9.0 | "
+        "scale-invariant d1 0.1 rmse 9.0\n"
+        "12:05 | INFO | scale-aware  d1 0.7000 rmse 0.5000 | "
+        "scale-invariant d1 0.7100 rmse 0.4900\n")
+    # a whole task with no CSVs at all
+    (logs / "navi" / "dino_b16.log").write_text(
+        "12:00 | INFO | Recall at 0.01 m: 84.00\n"
+        "12:00 | INFO | Recall at 0.02 m: 99.25\n"
+        "12:00 | INFO | Recall at   5px: 93.06\n")
+    # unparseable log -> skipped, not an empty row
+    (logs / "navi" / "broken.log").write_text("crash before metrics\n")
+
+    out = str(tmp_path / "tables.md")
+    assert agg.main(["--csv-dir", str(d), "--out", out]) == 0
+    md = open(out).read()
+
+    assert "mae_b16 †" in md
+    assert "0.7000" in md and "0.9999" not in md  # no dup for dino
+    depth = md[md.index("## depth"):md.index("## navi")]
+    assert "dino_b16 †" not in depth
+    navi = md[md.index("## navi"):]
+    assert "dino_b16 †" in navi and "99.2500" in navi
+    assert "broken" not in md
+    # recovery note in the preamble
+    assert "†" in md[:md.index("## ")]
+
+
+def test_log_recovery_disabled(tmp_path):
+    d = tmp_path / "suite" / "csv"
+    _write(str(d / "depth_depth_results_synthetic_final.csv"), [
+        _depth_row("dino_vitb16", 0.60, 0.70),
+    ])
+    os.makedirs(str(tmp_path / "suite" / "depth"))
+    (tmp_path / "suite" / "depth" / "mae_b16.log").write_text(
+        "12:00 | INFO | scale-aware  d1 0.7 rmse 0.5 | "
+        "scale-invariant d1 0.71 rmse 0.49\n")
+    out = str(tmp_path / "tables.md")
+    assert agg.main(["--csv-dir", str(d), "--out", out,
+                     "--logs-dir", "none"]) == 0
+    assert "†" not in open(out).read()
