@@ -86,6 +86,19 @@ def _norm_name(name: str) -> str:
     return re.sub(r"[^a-z0-9]", "", name.lower()).replace("vit", "")
 
 
+def _overview_key(name: str) -> str:
+    """Canonical backbone key for merging one model's rows across tasks:
+    strips the ' †' recovery marker and the output/layers config suffix
+    the drivers bake into the checkpoint column
+    (``byol_resnet50_dense_[1, 2, 3, 4]`` -> ``byolresnet50``), then
+    normalizes. Without this, a model with CSV rows in some tasks and
+    log-recovered rows in others split into two overview rows padded
+    with '—' (advisor r4, medium)."""
+    base = name.replace(" †", "")
+    base = re.sub(r"_(dense-cls|dense|cls|gap)(_?\[.*)?$", "", base)
+    return _norm_name(base)
+
+
 def _names_match(csv_ckpt: str, model_key: str) -> bool:
     a, b = _norm_name(csv_ckpt), _norm_name(model_key)
     return a.startswith(b) or b.startswith(a)
@@ -141,6 +154,16 @@ def recover_from_logs(logs_dir: str,
     (backbone name suffixed ' †'). Mutates ``tables``; returns per-task
     recovered-row counts."""
     recovered: dict[str, int] = {}
+    # only recover cells the suite recorded as green: a cell that printed
+    # metrics then failed (or was killed mid-print, or is still running)
+    # must not be presented as a result (advisor r4, low). Without a rows
+    # JSON (e.g. a raw /tmp tree), recover everything as before.
+    green: set | None = None
+    rows_path = os.path.join(logs_dir, "suite_rows.json")
+    if os.path.exists(rows_path):
+        import json
+        green = {(r["task"], r["model"])
+                 for r in json.load(open(rows_path)) if r["rc"] == 0}
     for sub in sorted(glob.glob(os.path.join(logs_dir, "*", ""))):
         task = os.path.basename(os.path.dirname(sub))
         if task not in HEADLINE:
@@ -149,12 +172,15 @@ def recover_from_logs(logs_dir: str,
         have = [(_model_of(r) or "") for r in rows]
         for lp in sorted(glob.glob(os.path.join(sub, "*.log"))):
             model = os.path.splitext(os.path.basename(lp))[0]
+            if green is not None and (task, model) not in green:
+                continue
             if any(_names_match(h, model) for h in have):
                 continue
             with open(lp) as f:
                 parsed = parse_cell_log(task, f.read())
             if parsed:
                 rows.append({"checkpoint": model + " †", **parsed})
+                have.append(model)
                 recovered[task] = recovered.get(task, 0) + 1
         if not rows:
             tables.pop(task, None)
@@ -239,22 +265,38 @@ def overview_table(tables: dict[str, list[dict]]) -> list[str]:
         if cols:
             rank_col[t] = cols[0]
     tasks = [t for t in tasks if t in rank_col]
-    models: list[str] = []
+    # one overview row per backbone, merging CSV and log-recovered cells
+    # (keys canonicalized by _overview_key; '†' marks recovered cells)
+    keys: list[str] = []
+    display: dict[str, str] = {}
     for t in tasks:
         for r in tables[t]:
             m = _model_of(r)
-            if m not in models:
-                models.append(m)
-    lines = ["## Overview (headline metric per task)", "",
+            k = _overview_key(m)
+            if k not in display:
+                keys.append(k)
+                display[k] = m.replace(" †", "")
+            elif "†" not in m and len(m) < len(display[k]):
+                display[k] = m  # prefer the shortest non-recovered spelling
+    any_recovered = any("†" in _model_of(r)
+                        for t in tasks for r in tables[t])
+    legend = ("; † = cell recovered from the driver log"
+              if any_recovered else "")
+    lines = [f"## Overview (headline metric per task{legend})", "",
              "| backbone | " + " | ".join(
                  f"{t}: {rank_col[t]}" for t in tasks) + " |",
              "|---" * (len(tasks) + 1) + "|"]
-    for m in models:
+    for k in keys:
         cells = []
         for t in tasks:
-            r = next((r for r in tables[t] if _model_of(r) == m), None)
-            cells.append("—" if r is None else _fmt(r.get(rank_col[t])))
-        lines.append(f"| {m} | " + " | ".join(cells) + " |")
+            r = next((r for r in tables[t]
+                      if _overview_key(_model_of(r)) == k), None)
+            if r is None:
+                cells.append("—")
+            else:
+                mark = "†" if "†" in _model_of(r) else ""
+                cells.append(_fmt(r.get(rank_col[t])) + mark)
+        lines.append(f"| {display[k]} | " + " | ".join(cells) + " |")
     return lines + [""]
 
 
