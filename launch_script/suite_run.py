@@ -54,7 +54,19 @@ TRAIN_COMMON = ["dataset=synthetic", "dataset.num_instances=64",
 # projection priced); run explicitly on a representative subset, e.g.
 #   suite_run.py --tasks objectness taskonomy maskcut \
 #                --models dino_b16 simclr_resnet50
-EXTRA_TASKS = ("objectness", "taskonomy", "maskcut")
+# depth_dpt192/snorm_dpt192 are the credible <1 h preset columns
+# (logs/fast_preset_ab_r5.md arm dpt-192-hd256: DPT decoder at hidden_dim
+# 256, full schedule, train 192², eval-only reload at protocol 480²) —
+# the preset the A/B recommends, vs the fast-linear main-pass default the
+# A/B disqualifies for accuracy work (δ1 −0.0086 vs −0.36).
+EXTRA_TASKS = ("objectness", "taskonomy", "maskcut",
+               "depth_dpt192", "snorm_dpt192")
+
+
+def _at_size(overrides: list, size: int) -> list:
+    return [f"dataset.image_size=[{size},{size}]"
+            if o.startswith("dataset.image_size=") else o
+            for o in overrides]
 
 
 def task_plan(spair_root: str) -> dict:
@@ -95,6 +107,15 @@ def task_plan(spair_root: str) -> dict:
                     ["dataset=synthetic_voc", "dataset.num_instances=8",
                      "dataset.image_size=[224,224]",
                      "maskcut.fixed_size=224", "max_images=8"]),
+        # ---- dpt-192-hd256 preset columns (explicit --tasks only):
+        # train at 192², then reload the fully-conv probe and eval at the
+        # protocol 480² (fast_preset_ab.py arm mechanics, δ1 −0.0086)
+        "depth_dpt192": ("train_depth.py",
+                         _at_size(TRAIN_COMMON, 192)
+                         + ["probe=depth_dpt192_hd256"], 480),
+        "snorm_dpt192": ("train_snorm.py",
+                         _at_size(TRAIN_COMMON, 192)
+                         + ["probe=snorm_dpt192_hd256"], 480),
     }
 
 
@@ -172,23 +193,50 @@ def wait_for_backend(max_wait_s: float = 4 * 3600,
 
 
 def run_one(task: str, driver: str, model: str, overrides: list,
-            log_dir: str) -> dict:
+            log_dir: str, eval_size: int | None = None) -> dict:
     out_dir = os.path.join(SUITE_OUT, task)
-    cmd = [sys.executable, os.path.join(REPO, driver),
-           f"backbone={model}", f"output_dir={out_dir}"] + overrides
     env = subprocess_env()
     os.makedirs(os.path.join(log_dir, task), exist_ok=True)
     log_path = os.path.join(log_dir, task, f"{model}.log")
     t0 = time.time()
-    with open(log_path, "w") as log:
+
+    def _phase(phase_overrides: list, outdir: str, log) -> int:
+        cmd = [sys.executable, os.path.join(REPO, driver),
+               f"backbone={model}", f"output_dir={outdir}"] + phase_overrides
         # bounded: a wedged tunnel compile must not stall the whole suite
         # (fresh B-sized compiles are <10 min; 40 min is pathological)
         try:
-            ret = subprocess.call(cmd, stdout=log, stderr=subprocess.STDOUT,
-                                  env=env, cwd=REPO, timeout=2400)
+            return subprocess.call(cmd, stdout=log,
+                                   stderr=subprocess.STDOUT,
+                                   env=env, cwd=REPO, timeout=2400)
         except subprocess.TimeoutExpired:
-            ret = 124
             log.write("\n[suite] KILLED: exceeded 2400 s cell budget\n")
+            return 124
+
+    with open(log_path, "w") as log:
+        if eval_size is None:
+            ret = _phase(overrides, out_dir, log)
+        else:
+            # two-phase preset cell (fast_preset_ab.py arm mechanics,
+            # logs/fast_preset_ab_r5.md): train at the reduced size into a
+            # per-model dir (exp_name embeds the zoo checkpoint name, so a
+            # shared dir would make the ckpt glob ambiguous), then reload
+            # the fully-convolutional probe and run the driver's eval-only
+            # path (+is_eval +ckpt_path, train_depth.py:65-71) at the
+            # protocol size, appending to the shared task CSV.
+            train_dir = os.path.join(out_dir, f"train_{model}")
+            ret = _phase(overrides, train_dir, log)
+            if ret == 0:
+                ckpts = sorted(
+                    glob.glob(os.path.join(train_dir, "*", "ckpt")))
+                if not ckpts:
+                    log.write(f"\n[suite] no checkpoint under {train_dir}\n")
+                    ret = 1
+                else:
+                    ret = _phase(
+                        _at_size(overrides, eval_size)
+                        + ["+is_eval=True", f"+ckpt_path={ckpts[-1]}"],
+                        out_dir, log)
     return {"task": task, "model": model, "rc": ret,
             "wall_s": round(time.time() - t0, 1), "ts": round(t0, 1)}
 
@@ -304,6 +352,8 @@ def write_report(rows: list, out_md: str, log_dir: str,
     # built are what today's persistent cache holds for the legacy rows,
     # so their identities count as already-compiled for new cells
     seen_identity: set = {compile_identity(t, m) for t, m in cold}
+    fresh_wall_by_identity: dict = {}
+    anomalies: list = []
     ordered = sorted((r for r in rows if r["rc"] == 0 and "ts" in r),
                      key=lambda r: r["ts"])
     for r in ordered:
@@ -311,8 +361,20 @@ def write_report(rows: list, out_md: str, log_dir: str,
         if (ident not in seen_identity or r.get("cold_cache")
                 or (r["task"], r["model"]) in cold):
             fresh_by_task[r["task"]].append(r["wall_s"])
+            fresh_wall_by_identity.setdefault(ident, r["wall_s"])
         else:
             cached_by_task[r["task"]].append(r["wall_s"])
+            # a cached-class cell FAR slower than its class's own fresh
+            # compile = a server-side cache eviction / tunnel hiccup
+            # (observed live: maskfeat depth paid 22 min inside a warm
+            # b16 class). Surface these so the table's cache claim is
+            # not silently contradicted by its inputs. 2x + 2 min keeps
+            # ordinary eval-wall jitter out of the list.
+            fw = fresh_wall_by_identity.get(ident)
+            if fw is not None and r["wall_s"] > max(2 * fw, fw + 120):
+                anomalies.append(
+                    f"{r['task']}/{r['model']} {r['wall_s']:.0f}s "
+                    f"(class fresh {fw:.0f}s)")
         seen_identity.add(ident)
 
     for t in tasks:
@@ -342,6 +404,14 @@ def write_report(rows: list, out_md: str, log_dir: str,
             "assumed implicitly: one compile per architecture class, not "
             "per run.",
         ]
+    if anomalies:
+        lines += [
+            "",
+            f"Cache anomalies ({len(anomalies)}): cached-class cells "
+            "slower than their class's fresh compile — server-side cache "
+            "evictions / tunnel slowness, counted in the cached medians "
+            "above:",
+        ] + [f"- {a}" for a in anomalies]
     # pending/done visibility (VERDICT r4 weak #7): a zero-failure report
     # must not read as complete when cells simply never ran.
     main_tasks = [t for t in
@@ -400,8 +470,9 @@ def main(argv=None):
         print(f"[suite] {len(todo)} runs to go "
               f"({len(done)} already ok)", flush=True)
         for i, (t, m) in enumerate(todo):
-            driver, overrides = plan[t]
-            row = run_one(t, driver, m, overrides, args.log_dir)
+            driver, overrides = plan[t][0], plan[t][1]
+            eval_size = plan[t][2] if len(plan[t]) > 2 else None
+            row = run_one(t, driver, m, overrides, args.log_dir, eval_size)
             rows = [r for r in rows
                     if not (r["task"] == t and r["model"] == m)] + [row]
             json.dump(rows, open(rows_path, "w"), indent=1)
