@@ -39,6 +39,14 @@ HEADLINE = {
     "spair": ["Recall (View Diff all)", "Recall (View Diff 0)",
               "Recall (View Diff 1)", "Recall (View Diff 2)"],
     "percepture": ["accuracy", "f1_score", "precision", "recall"],
+    # hardened geometric evals (same drivers/schemas as their easy twins;
+    # suite_run.py navi_hard/scannet_hard/percepture_hard columns)
+    "navi_hard": ["3D Recall (0.02m)", "3D Recall (0.01m)",
+                  "3D Recall (0.05m)", "2D Recall (5px)",
+                  "2D Recall (25px)", "2D Recall (50px)"],
+    "scannet_hard": ["3D Recall (0.05m)", "3D Recall (0.10m)",
+                     "2D Recall (5px)", "2D Recall (15px)"],
+    "percepture_hard": ["accuracy", "f1_score", "precision", "recall"],
     "objectness": ["F-measure", "IoU", "Accuracy", "CorLoc"],
     "maskcut": ["F-measure", "IoU", "Accuracy", "CorLoc"],
     # taskonomy metric keys vary by task (masked_l1 / absrel / delta1..) —
@@ -115,6 +123,7 @@ def _names_match(csv_ckpt: str, model_key: str) -> bool:
 def parse_cell_log(task: str, text: str) -> dict | None:
     """Extract the headline metric dict from one cell log, or None."""
     out: dict[str, str] = {}
+    task = task.removesuffix("_hard")  # *_hard logs share the easy schema
     if task == "depth":
         ms = re.findall(r"scale-aware\s+d1 (\S+) rmse (\S+) \| "
                         r"scale-invariant d1 (\S+) rmse (\S+)", text)

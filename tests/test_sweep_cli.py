@@ -49,10 +49,12 @@ def test_suite_run_task_plan_covers_all_nine_driver_families():
     plan = suite_run.task_plan("/tmp/nonexistent_spair")
     assert set(plan) == {"depth", "snorm", "navi", "scannet", "spair",
                          "percepture", "objectness", "taskonomy", "maskcut",
-                         "depth_dpt192", "snorm_dpt192"}
+                         "depth_dpt192", "snorm_dpt192",
+                         "navi_hard", "scannet_hard", "percepture_hard"}
     assert set(suite_run.EXTRA_TASKS) == {"objectness", "taskonomy",
                                           "maskcut", "depth_dpt192",
-                                          "snorm_dpt192"}
+                                          "snorm_dpt192", "navi_hard",
+                                          "scannet_hard", "percepture_hard"}
     default = [t for t in plan if t not in suite_run.EXTRA_TASKS]
     assert len(default) == 6
     # every planned driver actually exists at the repo root
