@@ -206,7 +206,10 @@ def discover(csv_dir: str) -> dict[str, list[str]]:
             by_task.setdefault(task, []).extend(paths)
     for p in sorted(glob.glob(os.path.join(csv_dir, "*.csv"))):
         base = os.path.basename(p)
-        task = next((t for t in HEADLINE if base.startswith(t + "_")), None)
+        # longest task prefix wins: 'navi_hard_<file>.csv' must land under
+        # navi_hard, not navi (same for scannet/percepture _hard twins)
+        task = next((t for t in sorted(HEADLINE, key=len, reverse=True)
+                     if base.startswith(t + "_")), None)
         if task:
             by_task.setdefault(task, []).append(p)
     return by_task

@@ -151,3 +151,32 @@ def test_log_recovery_disabled(tmp_path):
     assert agg.main(["--csv-dir", str(d), "--out", out,
                      "--logs-dir", "none"]) == 0
     assert "†" not in open(out).read()
+
+
+def test_hard_task_csvs_bucket_separately(tmp_path):
+    """'navi_hard_*.csv' must land under navi_hard, not navi (longest task
+    prefix wins in archive-layout discovery) — and the hard column shows up
+    as its own overview column so saturated-easy vs hard signal is visible
+    side by side."""
+    d = tmp_path / "csv"
+    navi_row = {"Time": "t", "Model Checkpoint": "dino_b16",
+                "Patch Size": 16, "Layer": 11, "Output": "dense",
+                "Num Correspondences": 100, "Scale Factor": 0.25,
+                "3D Recall (0.01m)": 84.0, "3D Recall (0.02m)": 99.2,
+                "3D Recall (0.05m)": 100.0, "2D Recall (5px)": 93.0,
+                "2D Recall (25px)": 97.9, "2D Recall (50px)": 98.7}
+    hard_row = dict(navi_row)
+    hard_row.update({"3D Recall (0.02m)": 41.5, "3D Recall (0.01m)": 30.0,
+                     "3D Recall (0.05m)": 52.0})
+    _write(str(d / "navi_navi_correspondence_final.csv"), [navi_row])
+    _write(str(d / "navi_hard_navi_correspondence_final.csv"), [hard_row])
+    by_task = agg.discover(str(d))
+    assert set(by_task) == {"navi", "navi_hard"}
+    out = str(tmp_path / "tables.md")
+    assert agg.main(["--csv-dir", str(d), "--out", out]) == 0
+    md = open(out).read()
+    assert "## navi " in md and "## navi_hard " in md
+    hard = md[md.index("## navi_hard"):]
+    assert "41.5000" in hard and "99.2000" not in hard
+    assert "navi: 3D Recall (0.02m)" in md
+    assert "navi_hard: 3D Recall (0.02m)" in md
