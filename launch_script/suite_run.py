@@ -227,13 +227,17 @@ def run_one(task: str, driver: str, model: str, overrides: list,
         cmd = [sys.executable, os.path.join(REPO, driver),
                f"backbone={model}", f"output_dir={outdir}"] + phase_overrides
         # bounded: a wedged tunnel compile must not stall the whole suite
-        # (fresh B-sized compiles are <10 min; 40 min is pathological)
+        # (fresh B-sized compiles are <10 min; 40 min is pathological).
+        # Two-phase preset cells pay TWO fresh compiles (the 192² train
+        # program and the 480² eval program are distinct compile classes),
+        # so each phase gets a wider budget.
+        budget = 2400 if eval_size is None else 3600
         try:
             return subprocess.call(cmd, stdout=log,
                                    stderr=subprocess.STDOUT,
-                                   env=env, cwd=REPO, timeout=2400)
+                                   env=env, cwd=REPO, timeout=budget)
         except subprocess.TimeoutExpired:
-            log.write("\n[suite] KILLED: exceeded 2400 s cell budget\n")
+            log.write(f"\n[suite] KILLED: exceeded {budget} s cell budget\n")
             return 124
 
     with open(log_path, "w") as log:
