@@ -113,13 +113,15 @@ def test_twoafc_hard_layout_and_sides():
 # the hard sets genuinely de-saturate (feature-space-dependent decisions)
 
 
-def test_twoafc_hard_rewards_spatial_tolerance():
-    """The shift-vs-blend construction makes the 2AFC decision depend on
-    the feature space: raw-pixel L2 flips on most triplets (the near side
-    is a shifted duplicate with LARGE pixel distance) while pooled
-    features recover — so backbone accuracy spreads instead of pinning at
-    1.0 the way the easy set does for any feature whatsoever."""
-    ds = SyntheticTwoAFC(num_instances=64, image_size=(64, 64), seed=3,
+def test_twoafc_hard_rewards_content_over_statistics():
+    """The photometric-near vs blend-far construction makes the 2AFC
+    decision depend on WHAT a global embedding encodes (the protocol
+    scores cls/global-average embeddings): a stats-only embedding
+    (per-channel means) degrades badly at the suite's 224² while
+    content-pooled features stay ~perfect — so backbone accuracy spreads
+    instead of pinning at 1.0 the way the easy set does for any feature
+    whatsoever."""
+    ds = SyntheticTwoAFC(num_instances=64, image_size=(224, 224), seed=3,
                          hard=True)
 
     def acc(feat):
@@ -131,10 +133,11 @@ def test_twoafc_hard_rewards_spatial_tolerance():
             hits.append((0.0 if dl < dr else 1.0) == it["p"])
         return float(np.mean(hits))
 
-    pixel = acc(lambda x: x)
-    pool16 = acc(lambda x: x.reshape(4, 16, 4, 16, 3).mean((1, 3)))
-    assert pixel < 0.9, pixel
-    assert pool16 > pixel + 0.2, (pixel, pool16)
+    stats_only = acc(lambda x: x.mean((0, 1)))
+    content = acc(
+        lambda x: x.reshape(28, 8, 28, 8, 3).mean((1, 3)) - x.mean((0, 1)))
+    assert stats_only < 0.6, stats_only          # measured 0.125
+    assert content > 0.9, content                # measured 1.0
 
 
 @pytest.fixture()
@@ -185,7 +188,8 @@ def test_scannet_hard_driver_desaturates(tmp_path, _cpu_compose):
 def test_percepture_hard_driver_desaturates(tmp_path, _cpu_compose):
     """evaluate_model_percepture: easy accuracy is exactly 1.0 for any
     feature; hard accuracy must leave the ceiling and stay above the
-    chance floor (measured 0.5625 with test_tiny)."""
+    floor (measured 0.75 at 64²/n=32 with test_tiny, whose nearly
+    stats-only cls embedding anchors the weak end of the spread)."""
     import evaluate_model_percepture as drv
 
     accs = {}
